@@ -1,0 +1,13 @@
+from .voc import VOC_CLASSES, VOCTaskDataset
+from .coco import CocoTaskDataset
+from .dior import DIOR_CLASSES, DIORTaskDataset
+from .loader import DetLoader
+
+__all__ = [
+    "VOCTaskDataset",
+    "VOC_CLASSES",
+    "CocoTaskDataset",
+    "DIORTaskDataset",
+    "DIOR_CLASSES",
+    "DetLoader",
+]

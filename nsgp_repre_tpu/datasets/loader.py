@@ -1,0 +1,180 @@
+"""Host-side data pipeline → static-shape device batches.
+
+Replaces the mmdet pipeline (SURVEY §2.3): LoadImageFromFile /
+LoadAnnotations / Resize(keep_ratio) / RandomFlip(0.5) / Pad /
+PackDetInputs plus AspectRatioBatchSampler (batch_sampler.py:12).
+
+TPU re-design: dynamic image shapes would force XLA recompiles, so every
+image lands in one of TWO static buckets — landscape (H_s, W_l) or
+portrait (W_l rotated) — mirroring the aspect-ratio batching of the
+reference while keeping exactly two compiled shapes (SURVEY §7 hard
+part (6)). Normalization happens on device (engine/train.py).
+"""
+from __future__ import annotations
+
+import math
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..structures.sample import DetBatch, InstanceArray
+
+try:
+    import cv2
+
+    _HAS_CV2 = True
+except ImportError:  # pragma: no cover
+    from PIL import Image
+
+    _HAS_CV2 = False
+
+
+def load_image(path: str) -> np.ndarray:
+    """Decode to RGB uint8 HWC (bgr_to_rgb=True in the preprocessor cfg)."""
+    if _HAS_CV2:
+        img = cv2.imread(path, cv2.IMREAD_COLOR)
+        if img is None:
+            raise FileNotFoundError(path)
+        return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+    return np.asarray(Image.open(path).convert("RGB"))
+
+
+def resize_keep_ratio(
+    img: np.ndarray, boxes: np.ndarray, scale: Tuple[int, int]
+) -> Tuple[np.ndarray, np.ndarray, Tuple[float, float]]:
+    """mmdet Resize(keep_ratio=True): scale=(long, short) max bounds."""
+    h, w = img.shape[:2]
+    long_side, short_side = max(scale), min(scale)
+    factor = min(long_side / max(h, w), short_side / min(h, w))
+    new_w, new_h = int(w * factor + 0.5), int(h * factor + 0.5)
+    if _HAS_CV2:
+        out = cv2.resize(img, (new_w, new_h), interpolation=cv2.INTER_LINEAR)
+    else:  # pragma: no cover
+        out = np.asarray(Image.fromarray(img).resize((new_w, new_h)))
+    w_scale, h_scale = new_w / w, new_h / h
+    if len(boxes):
+        boxes = boxes * np.array([w_scale, h_scale, w_scale, h_scale], np.float32)
+    return out, boxes, (w_scale, h_scale)
+
+
+def flip_horizontal(img: np.ndarray, boxes: np.ndarray):
+    img = img[:, ::-1]
+    w = img.shape[1]
+    if len(boxes):
+        boxes = boxes.copy()
+        x1 = w - boxes[:, 2]
+        x2 = w - boxes[:, 0]
+        boxes[:, 0], boxes[:, 2] = x1, x2
+    return img, boxes
+
+
+def _round_up(x: int, m: int = 32) -> int:
+    return int(math.ceil(x / m) * m)
+
+
+class DetLoader:
+    """Batches a dataset into fixed-shape :class:`DetBatch` pytrees.
+
+    Args:
+        scale: mmdet resize scale, e.g. (1000, 600) VOC / (1333, 800) COCO.
+        aspect_buckets: split landscape/portrait into separate batches
+            (AspectRatioBatchSampler semantics) with static per-bucket
+            canvas shapes.
+    """
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        scale: Tuple[int, int] = (1000, 600),
+        training: bool = True,
+        gt_capacity: int = 100,
+        flip_prob: float = 0.5,
+        repeat: int = 1,
+        seed: int = 0,
+        drop_last: Optional[bool] = None,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.training = training
+        self.gt_capacity = gt_capacity
+        self.flip_prob = flip_prob if training else 0.0
+        self.repeat = repeat if training else 1
+        self.seed = seed
+        self.epoch = 0
+        self.drop_last = training if drop_last is None else drop_last
+        long_side, short_side = max(scale), min(scale)
+        # static canvases: landscape (short, long), portrait (long, short)
+        self.canvas = {
+            "landscape": (_round_up(short_side), _round_up(long_side)),
+            "portrait": (_round_up(long_side), _round_up(short_side)),
+        }
+        self.scale = scale
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+
+    def __len__(self) -> int:
+        n = len(self.dataset) * self.repeat
+        if self.drop_last:
+            return n // self.batch_size
+        return math.ceil(n / self.batch_size)
+
+    def _bucket_of(self, rec) -> str:
+        return "landscape" if rec["width"] >= rec["height"] else "portrait"
+
+    def _make_batch(self, recs: List[dict], rng: np.random.RandomState, bucket: str) -> DetBatch:
+        bh, bw = self.canvas[bucket]
+        B = self.batch_size
+        images = np.zeros((B, bh, bw, 3), np.uint8)
+        img_shape = np.zeros((B, 2), np.int32)
+        ori_shape = np.zeros((B, 2), np.int32)
+        scale_factor = np.ones((B, 2), np.float32)
+        boxes = np.zeros((B, self.gt_capacity, 4), np.float32)
+        labels = np.full((B, self.gt_capacity), -1, np.int32)
+        valid = np.zeros((B, self.gt_capacity), bool)
+
+        for i, rec in enumerate(recs):
+            img = load_image(rec["img_path"])
+            b = rec["boxes"].copy()
+            img, b, (ws, hs) = resize_keep_ratio(img, b, self.scale)
+            if self.training and rng.rand() < self.flip_prob:
+                img, b = flip_horizontal(img, b)
+            h, w = img.shape[:2]
+            images[i, :h, :w] = img
+            img_shape[i] = (h, w)
+            ori_shape[i] = (rec["height"], rec["width"])
+            scale_factor[i] = (ws, hs)
+            n = min(len(b), self.gt_capacity)
+            boxes[i, :n] = b[:n]
+            labels[i, :n] = rec["labels"][:n]
+            valid[i, :n] = True
+        # unused batch slots (last partial batch): zero images, no gt
+        return DetBatch(
+            images=images,
+            img_shape=img_shape,
+            ori_shape=ori_shape,
+            scale_factor=scale_factor,
+            gt=InstanceArray(boxes=boxes, labels=labels, valid=valid),
+        ), [r["img_id"] for r in recs]
+
+    def __iter__(self) -> Iterator:
+        rng = np.random.RandomState(self.seed + self.epoch)
+        order = np.concatenate(
+            [np.arange(len(self.dataset)) for _ in range(self.repeat)]
+        )
+        if self.training:
+            rng.shuffle(order)
+
+        buckets: dict = {"landscape": [], "portrait": []}
+        for idx in order:
+            rec = self.dataset[int(idx)]
+            b = self._bucket_of(rec)
+            buckets[b].append(rec)
+            if len(buckets[b]) == self.batch_size:
+                yield self._make_batch(buckets[b], rng, b)
+                buckets[b] = []
+        if not self.drop_last:
+            for b, recs in buckets.items():
+                if recs:
+                    yield self._make_batch(recs, rng, b)

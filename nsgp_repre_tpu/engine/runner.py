@@ -1,0 +1,616 @@
+"""Training orchestrators.
+
+- :class:`NullSpaceRunner` ≙ BRNullSpaceRunner
+  (mmdet/engine/runner/nsrunner_roi_replay.py:112): per task —
+  auto-load previous best checkpoint, build the frozen teacher
+  (task_id−1), install NSGP transforms from ``covariance.npz``, load EWC
+  terms, build RePRE prototypes from ``rois_etc.npz``, run the train
+  loop (per-epoch val + best checkpoint), then compute and save the
+  next task's artifacts (EWC importance, input covariances, RoI
+  features).
+- :class:`TeacherRunner` ≙ mmdet/engine/runner/teacherrunner.py:65 —
+  teacher pseudo-labeling only, no NSGP/EWC/artifacts.
+"""
+from __future__ import annotations
+
+import json
+import logging
+import os
+import os.path as osp
+import re
+import time
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..datasets import CocoTaskDataset, DIORTaskDataset, VOCTaskDataset
+from ..datasets.loader import DetLoader
+from ..evaluation import eval_coco_map, eval_voc_map
+from ..models.detector import DetectorConfig, FasterRCNN
+from ..parallel.mesh import create_mesh, replicate, shard_batch
+from ..structures.sample import DetBatch
+from ..utils import checkpoint as ckpt_io
+from ..utils.config import Config
+from . import ewc as ewc_lib
+from . import nsgp, optim, replay
+from .train import (
+    TrainState,
+    make_cov_step,
+    make_eval_step,
+    make_importance_step,
+    make_lr_schedule,
+    make_roi_extract_step,
+    make_train_step,
+    trainable_mask,
+)
+
+logger = logging.getLogger("nsgp_repre_tpu")
+
+# reference ignore_keys name their torch modules; translate prefixes to
+# this package's parameter paths (nsrunner:354 default + forced entries)
+_IGNORE_NAME_MAP = {
+    "rpn": "rpn_head",
+    "roi_head.bbox_head.fc_cls": "bbox_head/fc_cls",
+    "roi_head.bbox_head.fc_reg": "bbox_head/fc_reg",
+    "roi_head": "bbox_head",
+    "teacher": "teacher",
+}
+_FORCED_IGNORE = ["roi_head.bbox_head.fc_cls", "roi_head.bbox_head.fc_reg", "teacher"]
+
+
+def translate_ignore_keys(keys: List[str]) -> List[str]:
+    out = []
+    for k in list(keys) + _FORCED_IGNORE:
+        out.append(_IGNORE_NAME_MAP.get(k, k))
+    return out
+
+
+def detector_config_from_cfg(cfg: Config) -> DetectorConfig:
+    """Map a reference-shaped model config dict onto DetectorConfig."""
+    model = cfg.get("model", {})
+    bbox_head = model.get("roi_head", {}).get("bbox_head", {})
+    num_classes = bbox_head.get("num_classes", 20)
+    task_split = tuple(cfg.get("train_task_split", (0, num_classes)))
+    task_id = cfg.get("task_id", 1)
+    rr = cfg.get("rr_thresh", [0.5, 0.5])
+    train_cfg = model.get("train_cfg", {})
+    rpn_t = train_cfg.get("rpn", {})
+    prop_t = train_cfg.get("rpn_proposal", {})
+    rcnn_t = train_cfg.get("rcnn", {})
+    test_cfg = model.get("test_cfg", {})
+    rcnn_te = test_cfg.get("rcnn", {})
+    return DetectorConfig(
+        num_classes=num_classes,
+        task_split=task_split,
+        task_id=task_id,
+        rpn_pos_iou_thr=rpn_t.get("assigner", {}).get("pos_iou_thr", 0.7),
+        rpn_neg_iou_thr=rpn_t.get("assigner", {}).get("neg_iou_thr", 0.3),
+        rpn_min_pos_iou=rpn_t.get("assigner", {}).get("min_pos_iou", 0.3),
+        rpn_num=rpn_t.get("sampler", {}).get("num", 256),
+        rpn_pos_fraction=rpn_t.get("sampler", {}).get("pos_fraction", 0.5),
+        rpn_nms_pre=prop_t.get("nms_pre", 2000),
+        rpn_max_per_img=prop_t.get("max_per_img", 1000),
+        rpn_nms_iou=prop_t.get("nms", {}).get("iou_threshold", 0.7),
+        rcnn_pos_iou_thr=rcnn_t.get("assigner", {}).get("pos_iou_thr", 0.5),
+        rcnn_neg_iou_thr=rcnn_t.get("assigner", {}).get("neg_iou_thr", 0.5),
+        rcnn_min_pos_iou=rcnn_t.get("assigner", {}).get("min_pos_iou", 0.5),
+        rcnn_num=rcnn_t.get("sampler", {}).get("num", 512),
+        rcnn_pos_fraction=rcnn_t.get("sampler", {}).get("pos_fraction", 0.25),
+        score_thr=rcnn_te.get("score_thr", 0.05),
+        nms_iou=rcnn_te.get("nms", {}).get("iou_threshold", 0.5),
+        max_per_img=rcnn_te.get("max_per_img", 100),
+        rpn_thresh=rr[0],
+        roi_thresh=rr[1],
+        compute_dtype=cfg.get("compute_dtype", "float32"),
+    )
+
+
+def build_dataset(ds_cfg: Config, data_root_override: Optional[str] = None):
+    typ = ds_cfg.get("type", "VOCTask")
+    data_root = data_root_override or ds_cfg.get("data_root", "data/VOCdevkit")
+    common = dict(
+        task_split=list(ds_cfg.get("task_split", (0, 20))),
+        task_id=ds_cfg.get("task_id", 1),
+        test_mode=ds_cfg.get("test_mode", False),
+    )
+    if typ in ("VOCTask", "VOCTaskDataset"):
+        return VOCTaskDataset(
+            data_root=data_root,
+            ann_file=ds_cfg.get("ann_file", "VOC2007/ImageSets/Main/trainval.txt"),
+            sub_data_root=ds_cfg.get("data_prefix", {}).get("sub_data_root", "VOC2007/"),
+            **common,
+        )
+    if typ in ("DIORTask", "DIORTaskDataset"):
+        return DIORTaskDataset(
+            data_root=data_root,
+            ann_file=ds_cfg.get("ann_file"),
+            sub_data_root=ds_cfg.get("data_prefix", {}).get("sub_data_root", ""),
+            **common,
+        )
+    if typ in ("CocoTaskDataset", "CocoTask"):
+        return CocoTaskDataset(
+            data_root=data_root,
+            ann_file=ds_cfg.get("ann_file"),
+            img_prefix=ds_cfg.get("data_prefix", {}).get("img", ""),
+            **common,
+        )
+    raise ValueError(f"unknown dataset type {typ}")
+
+
+class NullSpaceRunner:
+    """Per-task orchestration of the NSGP-RePRE pipeline."""
+
+    # val_task_split (dataset configs): evaluate all classes seen so far
+    def __init__(self, cfg: Config, use_nsgp: bool = True):
+        self.cfg = cfg
+        self.use_nsgp = use_nsgp
+        self.work_dir = cfg.get("work_dir", "./work_dirs/default")
+        os.makedirs(self.work_dir, exist_ok=True)
+        self.task_id = cfg.get("task_id", 1)
+        self.task_split = list(cfg.get("train_task_split", (0, 20)))
+        self.previous_dir = cfg.get("previous_dir") if self.task_id != 1 else None
+        if self.previous_dir is not None and not osp.exists(self.previous_dir):
+            assert self.task_id == 1, "previous task dir required for task>1"
+        self.ckpt_keywords = cfg.get("ckpt_keywords", "best")
+        self.offset = cfg.get("offset", 0.0) or 0.0
+        self.ignore_keys = translate_ignore_keys(cfg.get("ignore_keys", ["rpn", "roi_head"]))
+        self.max_prototype = cfg.get("max_prototype", 10)
+        self.reserve_per_class = cfg.get("reserve_per_class", 0) or 0
+        self.is_trained = bool(cfg.get("is_trained", False))
+        self.seed = cfg.get("seed", 0)
+        self.use_teacher = cfg.get("use_teacher", True) and self.task_id != 1 \
+            and "joint" not in self.work_dir
+
+        self.det_cfg = detector_config_from_cfg(cfg)
+        self.model = FasterRCNN(config=self.det_cfg)
+        self.teacher_model = (
+            FasterRCNN(
+                config=dataclass_replace(self.det_cfg, task_id=self.task_id - 1)
+            )
+            if self.use_teacher
+            else None
+        )
+
+        # ---- data ----
+        tl_cfg = cfg.get("train_dataloader", {})
+        vl_cfg = cfg.get("val_dataloader", {})
+        self.train_dataset = build_dataset(_leaf_dataset(tl_cfg.get("dataset", {})))
+        self.val_dataset = build_dataset(_leaf_dataset(vl_cfg.get("dataset", {})))
+        scale = tuple(cfg.get("img_scale", (1000, 600)))
+        self.train_loader = DetLoader(
+            self.train_dataset,
+            batch_size=tl_cfg.get("batch_size", 16),
+            scale=scale,
+            training=True,
+            repeat=_dataset_repeat(tl_cfg.get("dataset", {})),
+            seed=self.seed,
+        )
+        self.val_loader = DetLoader(
+            self.val_dataset,
+            batch_size=vl_cfg.get("batch_size", tl_cfg.get("batch_size", 16)),
+            scale=scale,
+            training=False,
+        )
+
+        # ---- schedule / optimizer ----
+        opt_cfg = cfg.get("optim_wrapper", {}).get("optimizer", {})
+        self.max_epochs = cfg.get("train_cfg", {}).get("max_epochs", 30)
+        sched_cfg = cfg.get("param_scheduler", None)
+        milestones, gamma, warmup = (8, 11), 0.1, 500
+        if sched_cfg:
+            for s in sched_cfg:
+                if s.get("type") == "MultiStepLR":
+                    milestones = tuple(s.get("milestones", milestones))
+                    gamma = s.get("gamma", gamma)
+                if s.get("type") == "LinearLR":
+                    warmup = s.get("end", warmup)
+        steps_per_epoch = max(len(self.train_loader), 1)
+        self.lr_schedule = make_lr_schedule(
+            opt_cfg.get("lr", 0.02),
+            steps_per_epoch,
+            max_epochs=self.max_epochs,
+            milestones=milestones,
+            gamma=gamma,
+            warmup_iters=warmup,
+        )
+        opt_type = opt_cfg.get("type", "SGDNSCL")
+        if opt_type in ("SGDNSCL", "SGDNSCLNA", "SGD"):
+            base_opt = optim.sgd_nscl(
+                self.lr_schedule,
+                momentum=opt_cfg.get("momentum", 0.9),
+                weight_decay=opt_cfg.get("weight_decay", 1e-4),
+            )
+        elif opt_type in ("AdamNSCL", "Adam"):
+            base_opt = optim.adam_nscl(
+                self.lr_schedule, weight_decay=opt_cfg.get("weight_decay", 0.0)
+            )
+        elif opt_type in ("AdamWNSCL", "AdamW"):
+            base_opt = optim.adam_nscl(
+                self.lr_schedule,
+                weight_decay=opt_cfg.get("weight_decay", 0.1),
+                decoupled_wd=True,
+            )
+        else:
+            raise ValueError(opt_type)
+        self.adaptive = opt_type != "SGDNSCLNA"
+        self._base_opt = base_opt
+
+        # ---- model init / checkpoint ----
+        rng = jax.random.PRNGKey(self.seed)
+        dummy = jnp.zeros((1, 64, 64, 3), jnp.float32)
+        variables = self.model.init(rng, dummy)
+        self.params = variables["params"]
+        self.batch_stats = variables.get("batch_stats", {})
+
+        load_from = cfg.get("load_from")
+        if load_from is None and self.previous_dir is not None:
+            load_from = ckpt_io.find_checkpoint(self.previous_dir, self.ckpt_keywords)
+            assert load_from, f"no '{self.ckpt_keywords}' ckpt in {self.previous_dir}"
+        pretrained = cfg.get_nested("model.backbone.init_cfg.checkpoint")
+        if load_from:
+            self._load_checkpoint(load_from)
+            logger.info(f"loaded checkpoint {load_from}")
+        elif pretrained and osp.exists(str(pretrained)):
+            self._load_backbone(pretrained)
+
+        mask = trainable_mask(self.params, self.det_cfg)
+        self.optimizer = optim.masked(base_opt, mask)
+        self.opt_state = self.optimizer.init(self.params)
+
+        # ---- teacher (nsrunner:529-549: deepcopy AFTER ckpt load) ----
+        self.teacher_params = (
+            jax.tree.map(jnp.copy, self.params) if self.use_teacher else None
+        )
+
+        # ---- NSGP transforms (update_optim_transforms, nsrunner:634) ----
+        if self.use_nsgp and self.task_id != 1 and not self.is_trained:
+            cov_path = cfg.get("fea_in_load_path") or self.previous_dir
+            cov = ckpt_io.load_covariance(cov_path)
+            transforms = nsgp.build_transforms(
+                cov,
+                offset=self.offset,
+                ignore_patterns=self.ignore_keys,
+                adaptive=self.adaptive,
+                logger=logger,
+            )
+            self.opt_state = optim.set_transforms(self.opt_state, transforms)
+            logger.info(f"installed {len(transforms)} NSGP transforms")
+
+        # ---- EWC terms (load_importance, nsrunner:996-999) ----
+        self.ewc_terms: Dict = {}
+        if self.use_nsgp and self.task_id != 1 and not self.is_trained \
+                and "joint" not in self.work_dir:
+            ewc_path = osp.join(self.previous_dir, "ewc_reg_terms_ewc.npz")
+            if osp.exists(ewc_path):
+                raw = ckpt_io.load_ewc_terms(self.previous_dir)
+                self.ewc_terms = {
+                    k: (jnp.asarray(v[0]), jnp.asarray(v[1])) for k, v in raw.items()
+                }
+
+        # ---- RePRE prototypes ----
+        self.replay_feats = None
+        self.replay_labels = None
+        roi_head_type = cfg.get_nested("model.roi_head.type", "StandardMultiPrototypeReplayHead")
+        if self.task_id != 1 and self.previous_dir and osp.exists(
+            osp.join(self.previous_dir, "rois_etc.npz")
+        ):
+            arrays = ckpt_io.load_rois_etc(self.previous_dir)
+            feats, cls_targets = arrays[0], arrays[1]
+            if roi_head_type == "StandardPrototypeReplayHead":
+                protos, labels = replay.build_coarse_prototypes(
+                    feats, cls_targets, self.task_split, self.task_id
+                )
+            else:  # StandardMultiPrototypeReplayHead (main configs)
+                saved = ckpt_io.load_masks(self.previous_dir)
+                protos, labels, masks = replay.build_prototypes(
+                    feats, cls_targets, self.task_split, self.task_id,
+                    max_prototype=self.max_prototype, saved_masks=saved,
+                )
+                ckpt_io.save_masks(self.work_dir, masks)
+            if len(protos):
+                # map absolute class label → index in the sliced
+                # [:task_split[task_id]] ++ [bg] logit vector (labels are
+                # old-task classes, which are already < task_split[task_id])
+                self.replay_feats = jnp.asarray(protos)
+                self.replay_labels = jnp.asarray(labels)
+                logger.info(f"built {len(protos)} RePRE prototypes")
+
+        # ---- steps ----
+        self.mesh = create_mesh() if jax.device_count() > 1 else None
+        self.train_step = make_train_step(self.model, self.optimizer, self.teacher_model)
+        self.eval_step = make_eval_step(self.model)
+        self.cov_step = make_cov_step(self.model)
+        self.roi_step = make_roi_extract_step(self.model)
+        self.imp_step = make_importance_step(self.model)
+
+        self.state = TrainState(
+            params=self.params,
+            batch_stats=self.batch_stats,
+            opt_state=self.opt_state,
+            step=jnp.zeros((), jnp.int32),
+            teacher_params=self.teacher_params,
+            replay_feats=self.replay_feats,
+            replay_labels=self.replay_labels,
+            ewc_terms=self.ewc_terms,
+        )
+
+    # ------------------------------------------------------------------
+    def _load_checkpoint(self, path: str):
+        flat = ckpt_io.load_pytree_flat(path)
+        params_flat = {k[7:]: v for k, v in flat.items() if k.startswith("params/")}
+        stats_flat = {k[12:]: v for k, v in flat.items() if k.startswith("batch_stats/")}
+        self.params = ckpt_io.restore_into(self.params, params_flat, strict=False)
+        if stats_flat:
+            self.batch_stats = ckpt_io.restore_into(
+                self.batch_stats, stats_flat, strict=False
+            )
+
+    def _load_backbone(self, path: str):
+        from ..utils.torch_convert import load_torch_resnet50
+
+        params, stats = load_torch_resnet50(path)
+        self.params = ckpt_io.restore_into(self.params, params, strict=False)
+        self.batch_stats = ckpt_io.restore_into(self.batch_stats, stats, strict=False)
+        logger.info(f"loaded torch backbone {path}")
+
+    def _save_checkpoint(self, name: str):
+        tree = {"params": self.state.params, "batch_stats": self.state.batch_stats}
+        path = osp.join(self.work_dir, name)
+        ckpt_io.save_pytree(path, tree)
+        return path
+
+    def _variables(self):
+        return {"params": self.state.params, "batch_stats": self.state.batch_stats}
+
+    # ------------------------------------------------------------------
+    def train(self):
+        assert not self.cfg.get("resume", False) or self.task_id == 1, (
+            "Resume is not allowed for task>1: the teacher is initialized "
+            "from load_from (nsrunner:551)"
+        )
+        best_map = -1.0
+        rng = jax.random.PRNGKey(self.seed + 1)
+        if not self.is_trained:
+            step_times = []
+            for epoch in range(self.max_epochs):
+                self.train_loader.set_epoch(epoch)
+                for it, (batch, _) in enumerate(self.train_loader):
+                    batch = self._device_batch(batch)
+                    rng, key = jax.random.split(rng)
+                    t0 = time.time()
+                    self.state, metrics = self.train_step(self.state, batch, key)
+                    if it % 50 == 0:
+                        metrics = {k: float(v) for k, v in metrics.items()}
+                        lr = float(self.lr_schedule(int(self.state.step)))
+                        logger.info(
+                            f"epoch {epoch} iter {it}/{len(self.train_loader)} "
+                            f"lr {lr:.2e} "
+                            + " ".join(f"{k}:{v:.4f}" for k, v in metrics.items())
+                        )
+                    step_times.append(time.time() - t0)
+                mAP = self.val()
+                logger.info(f"epoch {epoch}: mAP {mAP:.4f}")
+                self._save_checkpoint(f"epoch_{epoch}.npz")
+                last = osp.join(self.work_dir, f"epoch_{epoch - 1}.npz")
+                if osp.exists(last):
+                    os.remove(last)  # max_keep_ckpts=1
+                if mAP > best_map:
+                    for f in os.listdir(self.work_dir):
+                        if f.startswith("best_"):
+                            os.remove(osp.join(self.work_dir, f))
+                    best_map = mAP
+                    self._save_checkpoint(f"best_mAP_epoch_{epoch}.npz")
+
+        # post-training artifacts (nsrunner:589-593)
+        self.calculate_save_importance()
+        self.cal_fea_in()
+        self.cal_rois()
+
+    def _device_batch(self, batch: DetBatch) -> DetBatch:
+        batch = jax.tree.map(jnp.asarray, batch)
+        if self.mesh is not None:
+            batch = shard_batch(batch, self.mesh)
+        return batch
+
+    # ------------------------------------------------------------------
+    def val(self) -> float:
+        detections, annotations = [], []
+        variables = self._variables()
+        for batch, img_ids in self.val_loader:
+            n_real = len(img_ids)
+            batch_dev = jax.tree.map(jnp.asarray, batch)
+            dets = self.eval_step(variables, batch_dev)
+            boxes = np.asarray(dets.boxes)
+            scores = np.asarray(dets.scores)
+            labels = np.asarray(dets.labels)
+            valid = np.asarray(dets.valid)
+            for i in range(n_real):
+                per_cls = {}
+                for c in range(self.det_cfg.num_classes):
+                    m = valid[i] & (labels[i] == c)
+                    per_cls[c] = (boxes[i][m], scores[i][m])
+                detections.append(per_cls)
+            annotations.extend(self._val_annotations(img_ids))
+        metric = self.cfg.get("val_evaluator", {}).get("type", "VOCMetric")
+        if metric == "CocoMetric":
+            res = eval_coco_map(detections, annotations, self.det_cfg.num_classes)
+            return res["mAP"]
+        mode = self.cfg.get("val_evaluator", {}).get("eval_mode", "11points")
+        mean_ap, _ = eval_voc_map(
+            detections, annotations, self.det_cfg.num_classes, mode=mode
+        )
+        return mean_ap
+
+    def _val_annotations(self, img_ids):
+        by_id = getattr(self, "_val_ann_cache", None)
+        if by_id is None:
+            by_id = {r["img_id"]: r for r in self.val_dataset.records}
+            self._val_ann_cache = by_id
+        out = []
+        for i in img_ids:
+            r = by_id[i]
+            out.append(
+                dict(
+                    boxes=r["boxes"],
+                    labels=r["labels"],
+                    difficult=r.get("difficult"),
+                    ignore_boxes=r.get("ignore_boxes"),
+                )
+            )
+        return out
+
+    def test(self) -> float:
+        mAP = self.val()
+        logger.info(f"test mAP: {mAP:.4f}")
+        # nsrunner test() also recomputes artifacts (:624-625)
+        self.cal_fea_in()
+        self.calculate_save_importance()
+        return mAP
+
+    # ------------------------------------------------------------------
+    # artifact passes
+    # ------------------------------------------------------------------
+    def _reload_best(self):
+        path = ckpt_io.find_checkpoint(self.work_dir, self.ckpt_keywords)
+        if path:
+            self._load_checkpoint(path)
+            self.state = self.state.replace(
+                params=self.params, batch_stats=self.batch_stats
+            )
+
+    def cal_fea_in(self, max_batches: Optional[int] = None):
+        """Input covariances over the train set (nsrunner:704-763)."""
+        logger.info("cal_fea_in ...")
+        self._reload_best()
+        variables = self._variables()
+        rng = jax.random.PRNGKey(self.seed + 2)
+        total = None
+        self.train_loader.set_epoch(0)
+        for i, (batch, _) in enumerate(self.train_loader):
+            if max_batches and i >= max_batches:
+                break
+            batch = self._device_batch(batch)
+            rng, key = jax.random.split(rng)
+            cov_tree = self.cov_step(variables, batch, key)
+            cov = nsgp.cov_collection_to_param_names(cov_tree)
+            total = nsgp.accumulate_cov(total, cov)
+        total = {k: np.asarray(v) for k, v in (total or {}).items()}
+        if self.task_id != 1:
+            prev = ckpt_io.load_covariance(self.previous_dir)
+            total = {k: v + prev[k] for k, v in total.items() if k in prev} | {
+                k: v for k, v in total.items() if k not in prev
+            }
+        path = ckpt_io.save_covariance(self.work_dir, total)
+        logger.info(f"covariance saved to {path}")
+
+    def cal_rois(self, max_batches: Optional[int] = None):
+        """RoI features for RePRE (nsrunner:776-868)."""
+        logger.info("cal_rois ...")
+        self._reload_best()
+        variables = self._variables()
+        rng = jax.random.PRNGKey(self.seed + 3)
+        feats, cls_t, cls_w, bb_t, bb_w, rois = [], [], [], [], [], []
+        self.train_loader.set_epoch(0)
+        for i, (batch, _) in enumerate(self.train_loader):
+            if max_batches and i >= max_batches:
+                break
+            batch = self._device_batch(batch)
+            rng, key = jax.random.split(rng)
+            out = self.roi_step(variables, batch, key)
+            mid, labels, cw, tgt, bw, r, valid = [np.asarray(x) for x in out]
+            feats.append(mid[valid])
+            cls_t.append(labels[valid])
+            cls_w.append(cw[valid])
+            bb_t.append(tgt[valid])
+            bb_w.append(bw[valid])
+            rois.append(r[valid])
+        arrays = [
+            np.concatenate(feats), np.concatenate(cls_t), np.concatenate(cls_w),
+            np.concatenate(bb_t), np.concatenate(bb_w), np.concatenate(rois),
+        ]
+        if self.reserve_per_class:
+            arrays = replay.subsample_per_class(
+                arrays, arrays[1], self.reserve_per_class,
+                num_classes=self.det_cfg.num_classes,
+            )
+        if self.task_id != 1:
+            prev = ckpt_io.load_rois_etc(self.previous_dir)
+            arrays = [np.concatenate([p, a]) for p, a in zip(prev, arrays)]
+        path = ckpt_io.save_rois_etc(self.work_dir, arrays)
+        logger.info(f"rois_etc saved to {path} ({len(arrays[0])} features)")
+
+    def calculate_save_importance(self, max_batches: Optional[int] = None):
+        """EWC Fisher diagonal over the train set (nsrunner:946-990)."""
+        logger.info("cal importance ...")
+        variables = self._variables()
+        rng = jax.random.PRNGKey(self.seed + 4)
+        importance = ewc_lib.init_importance(self.state.params)
+        n_batches = len(self.train_loader)
+        self.train_loader.set_epoch(0)
+        for i, (batch, _) in enumerate(self.train_loader):
+            if max_batches and i >= max_batches:
+                break
+            batch = self._device_batch(batch)
+            rng, key = jax.random.split(rng)
+            grads = self.imp_step(variables, batch, key)
+            importance = ewc_lib.accumulate_importance(
+                importance, grads, batch.images.shape[0], n_batches
+            )
+        terms = ewc_lib.append_task_terms(self.ewc_terms, importance, self.state.params)
+        path = ckpt_io.save_ewc_terms(self.work_dir, terms)
+        logger.info(f"EWC terms saved to {path}")
+
+
+class TeacherRunner(NullSpaceRunner):
+    """Teacher-only baseline — no NSGP projections, no EWC, no artifact
+    computation (teacherrunner.py:65)."""
+
+    def __init__(self, cfg: Config):
+        super().__init__(cfg, use_nsgp=False)
+        self.use_teacher = cfg.get("use_teacher", True) and self.task_id != 1
+
+    def train(self):
+        best_map = -1.0
+        rng = jax.random.PRNGKey(self.seed + 1)
+        for epoch in range(self.max_epochs):
+            self.train_loader.set_epoch(epoch)
+            for it, (batch, _) in enumerate(self.train_loader):
+                batch = self._device_batch(batch)
+                rng, key = jax.random.split(rng)
+                self.state, metrics = self.train_step(self.state, batch, key)
+                if it % 50 == 0:
+                    logger.info(
+                        f"epoch {epoch} iter {it}: "
+                        + " ".join(f"{k}:{float(v):.4f}" for k, v in metrics.items())
+                    )
+            mAP = self.val()
+            self._save_checkpoint(f"epoch_{epoch}.npz")
+            if mAP > best_map:
+                best_map = mAP
+                self._save_checkpoint(f"best_mAP_epoch_{epoch}.npz")
+
+
+def dataclass_replace(dc, **kw):
+    import dataclasses
+
+    return dataclasses.replace(dc, **kw)
+
+
+def _leaf_dataset(ds_cfg: Config) -> Config:
+    """Unwrap RepeatDataset/ConcatDataset nesting in reference configs."""
+    cur = ds_cfg
+    while cur.get("type") in ("RepeatDataset", "ConcatDataset"):
+        if cur.get("type") == "RepeatDataset":
+            cur = cur.get("dataset", {})
+        else:
+            datasets = cur.get("datasets", [])
+            cur = datasets[0] if datasets else {}
+    return cur
+
+
+def _dataset_repeat(ds_cfg: Config) -> int:
+    if ds_cfg.get("type") == "RepeatDataset":
+        return ds_cfg.get("times", 1)
+    return 1

@@ -1,0 +1,469 @@
+"""Task-aware Faster R-CNN detector (TPU-native, static shapes).
+
+Parity targets:
+- TwoStageDetector: mmdet/models/detectors/two_stage.py (extract_feat
+  :100, loss :146, predict :196)
+- FasterRCNNRoIReplay: mmdet/models/detectors/faster_rcnn_roi_replay.py
+  (teacher pseudo-labeling :65-109, forward modes :189-236, predict
+  :239-286)
+- StandardRoIHead loss: mmdet/models/roi_heads/standard_roi_head.py:95
+- AnchorHead target/loss: mmdet/models/dense_heads/anchor_head.py:201,468
+- RPN proposals: mmdet/models/dense_heads/rpn_head.py:136-306
+- BBoxHead targets/loss/predict: bbox_heads/bbox_head.py:155,335,427
+- multiclass_nms: mmdet/models/layers/bbox_nms.py:12
+
+Everything here runs under one jit: the whole train step (teacher
+forward, RPN/RoI losses, prototype replay) is a single traced program.
+Dynamic shapes from the reference become fixed capacities + masks:
+proposals (1000/img), RCNN samples (512/img), detections (100/img),
+gt instances (config.gt_capacity/img).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ..ops.anchors import AnchorGenerator
+from ..ops.nms import batched_nms, nms
+from ..ops.roi_align import multilevel_roi_align
+from ..structures.boxes import bbox2delta, bbox_clip, bbox_overlaps, delta2bbox
+from ..structures.sample import DetBatch, InstanceArray
+from .assigners import max_iou_assign
+from .bbox_head import Shared2FCBBoxHeadTask
+from .fpn import FPN
+from .losses import accuracy, weighted_l1, weighted_sigmoid_bce, weighted_softmax_ce
+from .resnet import ResNet50
+from .rpn_head import RPNHead
+from .samplers import random_sample_gather, random_sample_masks
+
+
+@dataclasses.dataclass(frozen=True)
+class DetectorConfig:
+    """Static hyperparameters (faster-rcnn_r50_fpn.py train/test cfg)."""
+
+    num_classes: int = 20
+    task_split: Tuple[int, ...] = (0, 20)
+    task_id: int = 1
+    # anchors
+    anchor_strides: Tuple[int, ...] = (4, 8, 16, 32, 64)
+    anchor_ratios: Tuple[float, ...] = (0.5, 1.0, 2.0)
+    anchor_scales: Tuple[float, ...] = (8.0,)
+    # rpn assign/sample (train_cfg.rpn)
+    rpn_pos_iou_thr: float = 0.7
+    rpn_neg_iou_thr: float = 0.3
+    rpn_min_pos_iou: float = 0.3
+    rpn_num: int = 256
+    rpn_pos_fraction: float = 0.5
+    # rpn proposals (train_cfg.rpn_proposal; reference predict() also
+    # uses the train cfg — faster_rcnn_roi_replay.py:272)
+    rpn_nms_pre: int = 2000
+    rpn_max_per_img: int = 1000
+    rpn_nms_iou: float = 0.7
+    # rcnn assign/sample (train_cfg.rcnn)
+    rcnn_pos_iou_thr: float = 0.5
+    rcnn_neg_iou_thr: float = 0.5
+    rcnn_min_pos_iou: float = 0.5
+    rcnn_num: int = 512
+    rcnn_pos_fraction: float = 0.25
+    # rcnn test (test_cfg.rcnn)
+    score_thr: float = 0.05
+    nms_iou: float = 0.5
+    max_per_img: int = 100
+    # coders
+    rcnn_target_stds: Tuple[float, ...] = (0.1, 0.1, 0.2, 0.2)
+    # roi extraction
+    roi_out_size: int = 7
+    roi_strides: Tuple[int, ...] = (4, 8, 16, 32)
+    roi_finest_scale: float = 56.0
+    roi_sampling_ratio: int = 2
+    # replay (RePRE) — prototypes are injected as arrays at train time
+    # teacher pseudo-label thresholds (rr_thresh; nsrunner:356)
+    rpn_thresh: float = 0.5
+    roi_thresh: float = 0.7
+    pseudo_iou_skip: float = 0.7
+    compute_dtype: str = "float32"
+
+    @property
+    def num_base_priors(self) -> int:
+        return len(self.anchor_ratios) * len(self.anchor_scales)
+
+
+class FasterRCNN(nn.Module):
+    """Backbone + FPN + RPN + task-split RoI head as one flax module."""
+
+    config: DetectorConfig
+
+    def setup(self):
+        cfg = self.config
+        self.backbone = ResNet50(name="backbone")
+        self.neck = FPN(out_channels=256, num_outs=5, name="neck")
+        self.rpn_head = RPNHead(
+            feat_channels=256, num_base_priors=cfg.num_base_priors, name="rpn_head"
+        )
+        self.bbox_head = Shared2FCBBoxHeadTask(
+            task_split=cfg.task_split,
+            task_id=cfg.task_id,
+            num_classes=cfg.num_classes,
+            name="bbox_head",
+        )
+        self.anchor_gen = AnchorGenerator(
+            strides=cfg.anchor_strides,
+            ratios=cfg.anchor_ratios,
+            scales=cfg.anchor_scales,
+        )
+
+    # ------------------------------------------------------------------
+    # feature extraction
+    # ------------------------------------------------------------------
+    def extract_feat(self, images: jnp.ndarray) -> Tuple[jnp.ndarray, ...]:
+        """images (B,H,W,3) → 5 FPN levels (two_stage.py:100)."""
+        dtype = jnp.bfloat16 if self.config.compute_dtype == "bfloat16" else jnp.float32
+        feats = self.backbone(images.astype(dtype))
+        outs = self.neck(feats)
+        return tuple(f.astype(jnp.float32) for f in outs)
+
+    def __call__(self, images: jnp.ndarray):
+        """Init/entry convenience: full forward to RPN maps."""
+        feats = self.extract_feat(images)
+        cls_maps, reg_maps = self.rpn_head(feats)
+        # touch the bbox head so all params initialize
+        dummy = jnp.zeros(
+            (1, self.config.roi_out_size, self.config.roi_out_size, 256),
+            cls_maps[0].dtype,
+        )
+        self.bbox_head(dummy)
+        return cls_maps, reg_maps
+
+    # ------------------------------------------------------------------
+    # anchors
+    # ------------------------------------------------------------------
+    def _anchors(self, feats) -> Tuple[jnp.ndarray, list]:
+        sizes = [(f.shape[1], f.shape[2]) for f in feats]
+        per_level = self.anchor_gen.grid_anchors(sizes)
+        return jnp.asarray(np.concatenate(per_level, axis=0)), sizes
+
+    def _anchor_valid(self, sizes, img_shape) -> jnp.ndarray:
+        """Per-anchor inside-image flags from the *per-image* padded shape.
+
+        mmdet valid_flags (anchor_head.py:164 via get_anchors) marks
+        anchors whose grid cell lies inside ceil(pad_shape/stride).
+        """
+        flags = []
+        for (fh, fw), stride in zip(sizes, self.config.anchor_strides):
+            gy = jnp.arange(fh)[:, None]
+            gx = jnp.arange(fw)[None, :]
+            vh = jnp.ceil(img_shape[0] / stride)
+            vw = jnp.ceil(img_shape[1] / stride)
+            f = (gy < vh) & (gx < vw)  # (fh, fw)
+            f = jnp.repeat(f.reshape(-1), self.config.num_base_priors)
+            flags.append(f)
+        return jnp.concatenate(flags)
+
+    # ------------------------------------------------------------------
+    # RPN: loss + proposals (loss_and_predict, base_dense_head.py:132)
+    # ------------------------------------------------------------------
+    def rpn_loss_and_proposals(
+        self,
+        feats,
+        gt: InstanceArray,
+        img_shape: jnp.ndarray,
+        rng: jax.Array,
+        with_loss: bool = True,
+    ):
+        cfg = self.config
+        cls_maps, reg_maps = self.rpn_head(feats)
+        anchors, sizes = self._anchors(feats)
+        B = cls_maps[0].shape[0]
+        A = cfg.num_base_priors
+
+        # flatten per level: (B, H, W, A) → (B, N_l); keep level splits
+        cls_flat = jnp.concatenate(
+            [m.reshape(B, -1) for m in cls_maps], axis=1
+        )  # (B, N)
+        reg_flat = jnp.concatenate(
+            [m.reshape(B, -1, 4) for m in reg_maps], axis=1
+        )  # (B, N, 4)
+        level_sizes = [s[0] * s[1] * A for s in sizes]
+
+        losses = {}
+        if with_loss:
+            def one_image(gt_boxes, gt_valid, shape, key):
+                valid = self._anchor_valid(sizes, shape)
+                assigned, _ = max_iou_assign(
+                    anchors, gt_boxes, gt_valid,
+                    cfg.rpn_pos_iou_thr, cfg.rpn_neg_iou_thr, cfg.rpn_min_pos_iou,
+                    match_low_quality=True, prior_valid=valid,
+                )
+                pos, neg = random_sample_masks(key, assigned, cfg.rpn_num, cfg.rpn_pos_fraction)
+                g = jnp.clip(assigned, 0)
+                tgt = bbox2delta(anchors, gt_boxes[g])
+                return pos, neg, tgt
+
+            keys = jax.random.split(rng, B)
+            pos, neg, tgt = jax.vmap(one_image)(gt.boxes, gt.valid, img_shape, keys)
+            label_w = (pos | neg).astype(jnp.float32)
+            avg = jnp.maximum(label_w.sum(), 1.0)
+            losses["loss_rpn_cls"] = weighted_sigmoid_bce(
+                cls_flat, pos.astype(jnp.float32), label_w, avg
+            )
+            losses["loss_rpn_bbox"] = weighted_l1(
+                reg_flat, tgt, pos[..., None].astype(jnp.float32), avg
+            )
+
+        # ---- proposals (rpn_head.py:136-306) ----
+        def proposals_one(cls_i, reg_i, shape):
+            boxes_l, scores_l, lvl_l = [], [], []
+            off = 0
+            for li, n_l in enumerate(level_sizes):
+                s = jax.nn.sigmoid(cls_i[off : off + n_l])
+                d = reg_i[off : off + n_l]
+                a = anchors[off : off + n_l]
+                k = min(cfg.rpn_nms_pre, n_l)
+                top_s, top_i = jax.lax.top_k(s, k)
+                boxes = delta2bbox(a[top_i], d[top_i], max_shape=shape)
+                boxes_l.append(boxes)
+                scores_l.append(top_s)
+                lvl_l.append(jnp.full((k,), li, dtype=jnp.int32))
+                off += n_l
+            boxes = jnp.concatenate(boxes_l)
+            scores = jnp.concatenate(scores_l)
+            lvls = jnp.concatenate(lvl_l)
+            wh_ok = (boxes[:, 2] > boxes[:, 0]) & (boxes[:, 3] > boxes[:, 1])
+            keep_idx, keep_valid = batched_nms(
+                boxes, scores, lvls, wh_ok, cfg.rpn_nms_iou, cfg.rpn_max_per_img
+            )
+            return boxes[keep_idx], scores[keep_idx], keep_valid
+
+        p_boxes, p_scores, p_valid = jax.vmap(proposals_one)(cls_flat, reg_flat, img_shape)
+        proposals = InstanceArray(
+            boxes=p_boxes,
+            labels=jnp.zeros(p_boxes.shape[:2], jnp.int32),
+            valid=p_valid,
+            scores=p_scores,
+        )
+        return losses, proposals
+
+    # ------------------------------------------------------------------
+    # RoI head: sample → RoIAlign → head (standard_roi_head.py:95)
+    # ------------------------------------------------------------------
+    def _sample_rois(self, proposals: InstanceArray, gt: InstanceArray, rng: jax.Array):
+        """Assign + random-sample 512 rois/img; returns flat roi set."""
+        cfg = self.config
+        B = proposals.boxes.shape[0]
+
+        # add_gt_as_proposals=True (train_cfg.rcnn.sampler)
+        cand_boxes = jnp.concatenate([gt.boxes, proposals.boxes], axis=1)
+        cand_valid = jnp.concatenate([gt.valid, proposals.valid], axis=1)
+
+        def one_image(cboxes, cvalid, gt_boxes, gt_labels, gt_valid, key):
+            assigned, _ = max_iou_assign(
+                cboxes, gt_boxes, gt_valid,
+                cfg.rcnn_pos_iou_thr, cfg.rcnn_neg_iou_thr, cfg.rcnn_min_pos_iou,
+                match_low_quality=False, prior_valid=cvalid,
+            )
+            idx, idx_valid, idx_pos = random_sample_gather(
+                key, assigned, cfg.rcnn_num, cfg.rcnn_pos_fraction
+            )
+            rois = cboxes[idx]
+            g = jnp.clip(assigned[idx], 0)
+            labels = jnp.where(idx_pos, gt_labels[g], cfg.num_classes)
+            labels = jnp.where(idx_valid, labels, cfg.num_classes)
+            tgt = bbox2delta(rois, gt_boxes[g], stds=cfg.rcnn_target_stds)
+            tgt = jnp.where(idx_pos[:, None], tgt, 0.0)
+            return rois, labels, idx_valid, idx_pos, tgt
+
+        keys = jax.random.split(rng, B)
+        rois, labels, valid, pos, tgt = jax.vmap(one_image)(
+            cand_boxes, cand_valid, gt.boxes, gt.labels, gt.valid, keys
+        )
+        batch_idx = jnp.broadcast_to(
+            jnp.arange(B, dtype=jnp.int32)[:, None], (B, cfg.rcnn_num)
+        )
+        flat = lambda x: x.reshape((-1,) + x.shape[2:])
+        return (
+            flat(rois), flat(batch_idx), flat(labels),
+            flat(valid), flat(pos), flat(tgt),
+        )
+
+    def _roi_feats(self, feats, rois, batch_idx):
+        cfg = self.config
+        return multilevel_roi_align(
+            list(feats[: len(cfg.roi_strides)]), rois, batch_idx,
+            strides=cfg.roi_strides,
+            output_size=cfg.roi_out_size,
+            sampling_ratio=cfg.roi_sampling_ratio,
+            finest_scale=cfg.roi_finest_scale,
+        )
+
+    def roi_loss(self, feats, proposals, gt, rng,
+                 replay_feats: Optional[jnp.ndarray] = None,
+                 replay_labels: Optional[jnp.ndarray] = None):
+        cfg = self.config
+        rois, batch_idx, labels, valid, pos, tgt = self._sample_rois(proposals, gt, rng)
+        roi_feats = self._roi_feats(feats, rois, batch_idx)
+        cls_score, bbox_pred = self.bbox_head(roi_feats)
+
+        label_w = valid.astype(jnp.float32)
+        avg = jnp.maximum(label_w.sum(), 1.0)
+        loss_cls = weighted_softmax_ce(cls_score, labels, label_w, avg)
+        # class-specific regression slice (bbox_head.py:575-ish semantics)
+        n = bbox_pred.shape[0]
+        pred4 = bbox_pred.reshape(n, cfg.num_classes, 4)
+        sel = jnp.take_along_axis(
+            pred4, jnp.clip(labels, 0, cfg.num_classes - 1)[:, None, None].repeat(4, -1), axis=1
+        )[:, 0]
+        loss_bbox = weighted_l1(sel, tgt, pos[:, None].astype(jnp.float32), avg)
+        losses = {
+            "loss_cls": loss_cls,
+            "loss_bbox": loss_bbox,
+            "acc": accuracy(cls_score, labels, label_w),
+        }
+        if replay_feats is not None:
+            losses["replay_loss_cls"] = self.replay_loss(replay_feats, replay_labels)
+        return losses
+
+    def replay_loss(self, replay_feats: jnp.ndarray, replay_labels: jnp.ndarray):
+        """RePRE prototype replay CE.
+
+        Parity: standard_roi_replay_head.py:468-501 — prototypes pass
+        through the classifier; logits restricted to
+        ``[: task_split[task_id]] ++ [background]``; loss is
+        ``F.cross_entropy(softmax(logits), labels)`` — the reference's
+        softmax-before-CE double normalization is reproduced on purpose
+        (it changes gradients; SURVEY §7 hard part (3)).
+        """
+        cfg = self.config
+        cls_score, _ = self.bbox_head(replay_feats)
+        pre_idx = cfg.task_split[cfg.task_id]
+        sliced = jnp.concatenate(
+            [cls_score[:, :pre_idx], cls_score[:, -1:]], axis=-1
+        )
+        probs = jax.nn.softmax(sliced, axis=-1)
+        logp = jax.nn.log_softmax(probs, axis=-1)
+        ll = jnp.take_along_axis(logp, replay_labels[:, None].astype(jnp.int32), axis=-1)
+        return -ll.mean()
+
+    # ------------------------------------------------------------------
+    # full loss (faster_rcnn_roi_replay.py:44 without teacher;
+    # the teacher merge happens OUTSIDE in engine/pseudo_label.py)
+    # ------------------------------------------------------------------
+    def loss(
+        self,
+        batch: DetBatch,
+        rng: jax.Array,
+        rpn_gt: Optional[InstanceArray] = None,
+        roi_gt: Optional[InstanceArray] = None,
+        replay_feats: Optional[jnp.ndarray] = None,
+        replay_labels: Optional[jnp.ndarray] = None,
+    ):
+        feats = self.extract_feat(batch.images)
+        rpn_gt = rpn_gt if rpn_gt is not None else batch.gt
+        roi_gt = roi_gt if roi_gt is not None else batch.gt
+        k1, k2 = jax.random.split(rng)
+        rpn_losses, proposals = self.rpn_loss_and_proposals(
+            feats, rpn_gt, batch.img_shape, k1
+        )
+        roi_losses = self.roi_loss(
+            feats, proposals, roi_gt, k2,
+            replay_feats=replay_feats, replay_labels=replay_labels,
+        )
+        return {**rpn_losses, **roi_losses}
+
+    # ------------------------------------------------------------------
+    # predict (faster_rcnn_roi_replay.py:239 + bbox_head.py:427)
+    # ------------------------------------------------------------------
+    def predict(self, batch: DetBatch, rescale: bool = True) -> InstanceArray:
+        cfg = self.config
+        feats = self.extract_feat(batch.images)
+        _, proposals = self.rpn_loss_and_proposals(
+            feats, batch.gt, batch.img_shape, jax.random.PRNGKey(0), with_loss=False
+        )
+        B, R = proposals.boxes.shape[:2]
+        rois = proposals.boxes.reshape(-1, 4)
+        batch_idx = jnp.broadcast_to(
+            jnp.arange(B, dtype=jnp.int32)[:, None], (B, R)
+        ).reshape(-1)
+        roi_feats = self._roi_feats(feats, rois, batch_idx)
+        cls_score, bbox_pred = self.bbox_head(roi_feats)
+        cls_score = cls_score.reshape(B, R, -1)
+        bbox_pred = bbox_pred.reshape(B, R, -1)
+
+        def one_image(p_boxes, p_valid, scores, deltas, shape, scale):
+            boxes = delta2bbox(
+                p_boxes[:, None, :].repeat(cfg.num_classes, 1).reshape(R, -1),
+                deltas.reshape(R, -1),
+                stds=cfg.rcnn_target_stds,
+                max_shape=shape,
+            ).reshape(R, cfg.num_classes, 4)
+            if rescale:
+                boxes = boxes / jnp.concatenate([scale, scale])[None, None, :]
+            probs = jax.nn.softmax(scores, axis=-1)[:, : cfg.num_classes]
+            flat_boxes = boxes.reshape(-1, 4)
+            flat_scores = probs.reshape(-1)
+            flat_labels = jnp.broadcast_to(
+                jnp.arange(cfg.num_classes, dtype=jnp.int32)[None, :],
+                (R, cfg.num_classes),
+            ).reshape(-1)
+            ok = (flat_scores > cfg.score_thr) & p_valid.repeat(cfg.num_classes)
+            keep_idx, keep_valid = batched_nms(
+                flat_boxes, flat_scores, flat_labels, ok, cfg.nms_iou, cfg.max_per_img
+            )
+            return (
+                flat_boxes[keep_idx],
+                flat_scores[keep_idx],
+                flat_labels[keep_idx],
+                keep_valid,
+            )
+
+        db, ds, dl, dv = jax.vmap(one_image)(
+            proposals.boxes, proposals.valid, cls_score, bbox_pred,
+            batch.img_shape, batch.scale_factor,
+        )
+        return InstanceArray(boxes=db, labels=dl, valid=dv, scores=ds)
+
+    # ------------------------------------------------------------------
+    # RePRE RoI-feature extraction (get_bbox_stuff,
+    # faster_rcnn_roi_replay.py:146 + standard_roi_replay_head.py:106)
+    # ------------------------------------------------------------------
+    def get_bbox_stuff(self, batch: DetBatch, rng: jax.Array, target_count: int = 5):
+        """Extract exactly ``target_count`` foreground RoI features/batch.
+
+        Reproduces the 5-RoI cap with random mask adjustment
+        (standard_roi_replay_head.py:168-196): start from foreground
+        sampled rois; randomly add background rois if short, randomly
+        drop foreground if over.
+        """
+        cfg = self.config
+        feats = self.extract_feat(batch.images)
+        k1, k2, k3 = jax.random.split(rng, 3)
+        _, proposals = self.rpn_loss_and_proposals(
+            feats, batch.gt, batch.img_shape, k1, with_loss=False
+        )
+        rois, batch_idx, labels, valid, pos, tgt = self._sample_rois(
+            proposals, batch.gt, k2
+        )
+        roi_feats = self._roi_feats(feats, rois, batch_idx)
+        mid = self.bbox_head.mid_features(roi_feats)  # (N, 12544)
+
+        fg = pos & valid  # labels != bg
+        n_fg = fg.sum()
+        u = jax.random.uniform(k3, fg.shape)
+        # want exactly target_count True: rank fg candidates first, then
+        # non-fg as filler (random order within each group)
+        key = jnp.where(fg, 2.0 + u, jnp.where(valid, u, -1.0))
+        _, order = jax.lax.top_k(key, target_count)
+        sel_valid = jnp.ones((target_count,), dtype=bool)
+        return (
+            mid[order],
+            labels[order],
+            jnp.ones((target_count,), jnp.float32),  # cls weights
+            tgt[order],
+            jnp.where(pos[order, None], 1.0, 0.0).repeat(4, -1),  # bbox weights
+            rois[order],
+            sel_valid,
+        )

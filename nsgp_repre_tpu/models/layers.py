@@ -1,0 +1,156 @@
+"""Building-block layers with NSGP covariance taps.
+
+The reference captures per-layer *input* covariances with torch forward
+hooks (nsrunner_roi_replay.py:876-916 ``compute_cov``). Hooks don't exist
+in a traced JAX program, so the layers themselves own the tap: when the
+``'cov'`` variable collection is mutable (i.e. the caller runs
+``apply(..., mutable=['cov'])``), each layer sows its input covariance,
+accumulated with a sum reduce. A normal ``apply`` pays zero cost.
+
+Reference quirks reproduced on purpose (they define the artifact the
+method trains against):
+- batch-mean-before-outer-product: hooks average the input over the
+  batch dim before computing X^T X (nsrunner:901 for Linear, :908 for
+  Conv — the unfold runs on the batch-mean map).
+- Conv covariance dim C = kh*kw*in_channels via im2col patches
+  (nsrunner:908-913); the patch feature ordering here is
+  channel-major (in, kh, kw) to match our kernel flattening in the
+  optimizer (see engine/optim.py).
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def _sum_reduce(a, b):
+    return a + b
+
+
+def _zero_init():
+    return 0.0
+
+
+def conv_input_patches(
+    x: jnp.ndarray,
+    kernel_size: Tuple[int, int],
+    strides: Tuple[int, int],
+    padding: Tuple[int, int],
+) -> jnp.ndarray:
+    """im2col over an NHWC map → (positions, in_ch*kh*kw), channel-major.
+
+    Equivalent to torch ``F.unfold`` feature ordering (c, kh, kw), which is
+    what the reference covariance uses (nsrunner:908).
+    """
+    n, h, w, c = x.shape
+    # conv_general_dilated_patches on NHWC input returns NHWC output whose
+    # channel dim is c * kh * kw ordered channel-major (c outermost).
+    patches = jax.lax.conv_general_dilated_patches(
+        x,
+        filter_shape=kernel_size,
+        window_strides=strides,
+        padding=[(padding[0], padding[0]), (padding[1], padding[1])],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return patches.reshape(-1, patches.shape[-1])
+
+
+class CovConv(nn.Module):
+    """2D conv (explicit torch-style padding) with an input-covariance tap."""
+
+    features: int
+    kernel_size: Tuple[int, int] = (3, 3)
+    strides: Tuple[int, int] = (1, 1)
+    padding: Tuple[int, int] = (0, 0)
+    use_bias: bool = True
+    kernel_init: nn.initializers.Initializer = nn.initializers.variance_scaling(
+        2.0, "fan_out", "normal"
+    )
+    bias_init: nn.initializers.Initializer = nn.initializers.zeros_init()
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.is_mutable_collection("cov") and not self.is_initializing():
+            xm = jnp.mean(x.astype(jnp.float32), axis=0, keepdims=True)
+            p = conv_input_patches(xm, self.kernel_size, self.strides, self.padding)
+            cov = p.T @ p
+            self.sow("cov", "cov", cov, reduce_fn=_sum_reduce, init_fn=_zero_init)
+        in_ch = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            self.kernel_init,
+            (*self.kernel_size, in_ch, self.features),
+            jnp.float32,
+        )
+        dtype = self.dtype or x.dtype
+        y = jax.lax.conv_general_dilated(
+            x.astype(dtype),
+            kernel.astype(dtype),
+            window_strides=self.strides,
+            padding=[(self.padding[0], self.padding[0]), (self.padding[1], self.padding[1])],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if self.use_bias:
+            bias = self.param("bias", self.bias_init, (self.features,), jnp.float32)
+            y = y + bias.astype(dtype)
+        return y
+
+
+class CovDense(nn.Module):
+    """Dense layer with the reference's rank-1 batch-mean covariance tap.
+
+    The reference Linear hook computes cov of the *batch-mean* vector
+    (nsrunner:901) — a rank-1 (C, C) outer product per batch.
+    """
+
+    features: int
+    use_bias: bool = True
+    kernel_init: nn.initializers.Initializer = nn.initializers.xavier_uniform()
+    bias_init: nn.initializers.Initializer = nn.initializers.zeros_init()
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.is_mutable_collection("cov") and not self.is_initializing():
+            xm = jnp.mean(x.astype(jnp.float32), axis=0, keepdims=True)
+            cov = xm.T @ xm
+            self.sow("cov", "cov", cov, reduce_fn=_sum_reduce, init_fn=_zero_init)
+        kernel = self.param(
+            "kernel", self.kernel_init, (x.shape[-1], self.features), jnp.float32
+        )
+        y = x @ kernel.astype(x.dtype)
+        if self.use_bias:
+            bias = self.param("bias", self.bias_init, (self.features,), jnp.float32)
+            y = y + bias.astype(x.dtype)
+        return y
+
+
+class FrozenBatchNorm(nn.Module):
+    """BatchNorm in permanent eval mode (mmdet ``norm_eval=True``).
+
+    Running mean/var live in the ``batch_stats`` collection and are never
+    updated (the reference never trains BN statistics on this path —
+    resnet.py ``norm_eval`` keeps them at the pretrained values). The
+    affine scale/bias ARE trainable parameters — they're exactly the
+    parameters EWC regularizes (nsrunner:1014 ``must_names=['bn']``).
+    """
+
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones_init(), (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros_init(), (c,), jnp.float32)
+        mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((c,), jnp.float32)
+        )
+        var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((c,), jnp.float32)
+        )
+        inv = jax.lax.rsqrt(var.value + self.epsilon) * scale
+        y = x * inv.astype(x.dtype) + (bias - mean.value * inv).astype(x.dtype)
+        return y
