@@ -104,6 +104,9 @@ def detector_config_from_cfg(cfg: Config) -> DetectorConfig:
         rpn_thresh=rr[0],
         roi_thresh=rr[1],
         compute_dtype=cfg.get("compute_dtype", "float32"),
+        backbone_blocks=tuple(
+            model.get("backbone", {}).get("stage_blocks", (3, 4, 6, 3))
+        ),
     )
 
 
@@ -318,7 +321,12 @@ class NullSpaceRunner:
                 logger.info(f"built {len(protos)} RePRE prototypes")
 
         # ---- steps ----
-        self.mesh = create_mesh() if jax.device_count() > 1 else None
+        # data-parallel mesh over as many devices as evenly divide the batch
+        import math as _math
+
+        bs = tl_cfg.get("batch_size", 16)
+        n_dev = _math.gcd(jax.device_count(), bs)
+        self.mesh = create_mesh(n_dev) if n_dev > 1 else None
         self.train_step = make_train_step(self.model, self.optimizer, self.teacher_model)
         self.eval_step = make_eval_step(self.model)
         self.cov_step = make_cov_step(self.model)
@@ -337,15 +345,19 @@ class NullSpaceRunner:
         )
 
     # ------------------------------------------------------------------
-    def _load_checkpoint(self, path: str):
+    def _load_checkpoint(self, path: str, params=None, stats=None):
+        """Restore params/batch_stats from ``path`` into the given trees
+        (defaults to the live ones — never into stale/donated arrays)."""
         flat = ckpt_io.load_pytree_flat(path)
         params_flat = {k[7:]: v for k, v in flat.items() if k.startswith("params/")}
         stats_flat = {k[12:]: v for k, v in flat.items() if k.startswith("batch_stats/")}
-        self.params = ckpt_io.restore_into(self.params, params_flat, strict=False)
+        params = params if params is not None else self.params
+        stats = stats if stats is not None else self.batch_stats
+        self.params = ckpt_io.restore_into(params, params_flat, strict=False)
         if stats_flat:
-            self.batch_stats = ckpt_io.restore_into(
-                self.batch_stats, stats_flat, strict=False
-            )
+            self.batch_stats = ckpt_io.restore_into(stats, stats_flat, strict=False)
+        else:
+            self.batch_stats = stats
 
     def _load_backbone(self, path: str):
         from ..utils.torch_convert import load_torch_resnet50
@@ -372,8 +384,9 @@ class NullSpaceRunner:
         )
         best_map = -1.0
         rng = jax.random.PRNGKey(self.seed + 1)
+        log_path = osp.join(self.work_dir, "scalars.json")
         if not self.is_trained:
-            step_times = []
+            log_f = open(log_path, "a")
             for epoch in range(self.max_epochs):
                 self.train_loader.set_epoch(epoch)
                 for it, (batch, _) in enumerate(self.train_loader):
@@ -384,12 +397,16 @@ class NullSpaceRunner:
                     if it % 50 == 0:
                         metrics = {k: float(v) for k, v in metrics.items()}
                         lr = float(self.lr_schedule(int(self.state.step)))
+                        dt = time.time() - t0
                         logger.info(
                             f"epoch {epoch} iter {it}/{len(self.train_loader)} "
                             f"lr {lr:.2e} "
                             + " ".join(f"{k}:{v:.4f}" for k, v in metrics.items())
                         )
-                    step_times.append(time.time() - t0)
+                        log_f.write(json.dumps(
+                            dict(epoch=epoch, iter=it, lr=lr, time=dt, **metrics)
+                        ) + "\n")
+                        log_f.flush()
                 mAP = self.val()
                 logger.info(f"epoch {epoch}: mAP {mAP:.4f}")
                 self._save_checkpoint(f"epoch_{epoch}.npz")
@@ -403,6 +420,8 @@ class NullSpaceRunner:
                     best_map = mAP
                     self._save_checkpoint(f"best_mAP_epoch_{epoch}.npz")
 
+        if not self.is_trained:
+            log_f.close()
         # post-training artifacts (nsrunner:589-593)
         self.calculate_save_importance()
         self.cal_fea_in()
@@ -475,7 +494,9 @@ class NullSpaceRunner:
     def _reload_best(self):
         path = ckpt_io.find_checkpoint(self.work_dir, self.ckpt_keywords)
         if path:
-            self._load_checkpoint(path)
+            self._load_checkpoint(
+                path, params=self.state.params, stats=self.state.batch_stats
+            )
             self.state = self.state.replace(
                 params=self.params, batch_stats=self.batch_stats
             )
@@ -558,7 +579,9 @@ class NullSpaceRunner:
             importance = ewc_lib.accumulate_importance(
                 importance, grads, batch.images.shape[0], n_batches
             )
-        terms = ewc_lib.append_task_terms(self.ewc_terms, importance, self.state.params)
+        terms = ewc_lib.append_task_terms(
+            dict(self.state.ewc_terms), importance, self.state.params
+        )
         path = ckpt_io.save_ewc_terms(self.work_dir, terms)
         logger.info(f"EWC terms saved to {path}")
 

@@ -44,6 +44,15 @@ def _evaluate_img(det_boxes, det_scores, gt_boxes, gt_crowd, area_rng, max_dets)
     """
     order = np.argsort(-det_scores, kind="stable")[:max_dets]
     det_boxes, det_scores = det_boxes[order], det_scores[order]
+
+    from ..native import coco_match_native
+
+    native = coco_match_native(
+        det_boxes, gt_boxes, gt_crowd, IOU_THRS, area_rng[0], area_rng[1]
+    )
+    if native is not None:
+        dtm_b, dti_b, gti_b = native
+        return dtm_b, dti_b, gti_b, det_scores
     g_area = (gt_boxes[:, 2] - gt_boxes[:, 0]) * (gt_boxes[:, 3] - gt_boxes[:, 1])
     gt_ig = gt_crowd | (g_area < area_rng[0]) | (g_area > area_rng[1])
     # sort gts: non-ignored first (COCOeval convention)

@@ -38,6 +38,11 @@ def _tpfp_single(
     iou_thr: float,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """TP/FP flags for one image, one class (dets pre-sorted by score)."""
+    from ..native import voc_tpfp_native
+
+    native = voc_tpfp_native(det_boxes, gt_boxes, gt_ignore, iou_thr)
+    if native is not None:
+        return native
     nd = len(det_boxes)
     tp = np.zeros(nd, np.float32)
     fp = np.zeros(nd, np.float32)

@@ -81,6 +81,9 @@ class DetectorConfig:
     roi_strides: Tuple[int, ...] = (4, 8, 16, 32)
     roi_finest_scale: float = 56.0
     roi_sampling_ratio: int = 2
+    # backbone depth knob — (3,4,6,3) = ResNet-50; tests shrink it the way
+    # the reference shrinks R50→R18 (tests/test_detectors/test_two_stage.py:26)
+    backbone_blocks: Tuple[int, ...] = (3, 4, 6, 3)
     # replay (RePRE) — prototypes are injected as arrays at train time
     # teacher pseudo-label thresholds (rr_thresh; nsrunner:356)
     rpn_thresh: float = 0.5
@@ -100,7 +103,7 @@ class FasterRCNN(nn.Module):
 
     def setup(self):
         cfg = self.config
-        self.backbone = ResNet50(name="backbone")
+        self.backbone = ResNet50(stage_blocks=cfg.backbone_blocks, name="backbone")
         self.neck = FPN(out_channels=256, num_outs=5, name="neck")
         self.rpn_head = RPNHead(
             feat_channels=256, num_base_priors=cfg.num_base_priors, name="rpn_head"

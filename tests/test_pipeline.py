@@ -1,0 +1,161 @@
+"""End-to-end incremental pipeline test on a synthetic VOC dataset.
+
+Covers the full two-task NSGP-RePRE protocol (SURVEY §3.1): task 1 train
+→ artifacts (covariance / rois_etc / ewc) → task 2 with teacher
+pseudo-labels, NSGP transforms, EWC terms, RePRE prototypes → train →
+merged artifacts. Marked slow (single-core XLA compiles dominate).
+"""
+import os
+import os.path as osp
+
+import numpy as np
+import pytest
+
+from nsgp_repre_tpu.utils.config import Config
+
+pytestmark = pytest.mark.slow
+
+VOC_XML = """<annotation>
+  <filename>{name}.jpg</filename>
+  <size><width>{w}</width><height>{h}</height><depth>3</depth></size>
+  {objects}
+</annotation>
+"""
+OBJ_XML = """<object>
+    <name>{cls}</name><difficult>0</difficult>
+    <bndbox><xmin>{x1}</xmin><ymin>{y1}</ymin><xmax>{x2}</xmax><ymax>{y2}</ymax></bndbox>
+  </object>"""
+
+
+@pytest.fixture(scope="module")
+def voc_root(tmp_path_factory):
+    import cv2
+
+    from nsgp_repre_tpu.datasets.voc import VOC_CLASSES
+
+    root = tmp_path_factory.mktemp("VOCdevkit")
+    base = root / "VOC2007"
+    (base / "JPEGImages").mkdir(parents=True)
+    (base / "Annotations").mkdir()
+    (base / "ImageSets" / "Main").mkdir(parents=True)
+    rng = np.random.RandomState(0)
+    ids = []
+    for i in range(8):
+        name = f"{i:06d}"
+        w, h = 80, 60  # single landscape bucket → one compiled shape
+        img = rng.randint(0, 255, (h, w, 3), np.uint8)
+        cv2.imwrite(str(base / "JPEGImages" / f"{name}.jpg"), img)
+        objs = [
+            OBJ_XML.format(cls=VOC_CLASSES[i % 4], x1=8, y1=8, x2=40, y2=40),
+            OBJ_XML.format(cls=VOC_CLASSES[2 + i % 2], x1=30, y1=20, x2=70, y2=50),
+        ]
+        (base / "Annotations" / f"{name}.xml").write_text(
+            VOC_XML.format(name=name, w=w, h=h, objects="\n".join(objs))
+        )
+        ids.append(name)
+    (base / "ImageSets" / "Main" / "trainval.txt").write_text("\n".join(ids))
+    (base / "ImageSets" / "Main" / "test.txt").write_text("\n".join(ids))
+    return str(root)
+
+
+def make_cfg(voc_root, work_root, task_id):
+    split = [0, 2, 4]
+    ds = dict(
+        type="VOCTask",
+        data_root=voc_root,
+        ann_file="VOC2007/ImageSets/Main/trainval.txt",
+        data_prefix=dict(sub_data_root="VOC2007/"),
+        task_split=split,
+        task_id=task_id,
+    )
+    val_ds = dict(
+        type="VOCTask",
+        data_root=voc_root,
+        ann_file="VOC2007/ImageSets/Main/test.txt",
+        data_prefix=dict(sub_data_root="VOC2007/"),
+        task_split=[0, split[task_id]],
+        task_id=1,
+        test_mode=True,
+    )
+    return Config.wrap(
+        dict(
+            task_id=task_id,
+            train_task_split=split,
+            offset=0.0,
+            ignore_keys=["rpn", "roi_head"],
+            previous_dir=osp.join(work_root, f"task_{task_id - 1}"),
+            ckpt_keywords="best",
+            max_prototype=3,
+            rr_thresh=[0.05, 0.1],  # low thresholds so pseudo-labels flow
+            img_scale=(100, 60),
+            seed=0,
+            model=dict(
+                type="FasterRCNNRoIReplay",
+                backbone=dict(stage_blocks=(1, 1, 1, 1)),
+                roi_head=dict(
+                    type="StandardMultiPrototypeReplayHead",
+                    bbox_head=dict(num_classes=4),
+                ),
+                train_cfg=dict(
+                    rpn=dict(sampler=dict(num=16)),
+                    rpn_proposal=dict(nms_pre=64, max_per_img=32),
+                    rcnn=dict(sampler=dict(num=16)),
+                ),
+                test_cfg=dict(rcnn=dict(max_per_img=8)),
+            ),
+            train_dataloader=dict(batch_size=2, dataset=ds),
+            val_dataloader=dict(batch_size=2, dataset=val_ds),
+            train_cfg=dict(max_epochs=1),
+            optim_wrapper=dict(optimizer=dict(type="SGDNSCL", lr=0.001)),
+            val_evaluator=dict(type="VOCMetric", eval_mode="11points"),
+            work_dir=osp.join(work_root, f"task_{task_id}"),
+        )
+    )
+
+
+def test_two_task_pipeline(voc_root, tmp_path):
+    from nsgp_repre_tpu.engine.runner import NullSpaceRunner
+
+    work_root = str(tmp_path / "work")
+
+    # ---- task 1 ----
+    cfg1 = make_cfg(voc_root, work_root, task_id=1)
+    r1 = NullSpaceRunner(cfg1)
+    assert r1.teacher_params is None
+    r1.train()
+    wd1 = cfg1["work_dir"]
+    assert osp.exists(osp.join(wd1, "covariance.npz"))
+    assert osp.exists(osp.join(wd1, "rois_etc.npz"))
+    assert osp.exists(osp.join(wd1, "ewc_reg_terms_ewc.npz"))
+    assert any(f.startswith("best_") for f in os.listdir(wd1))
+
+    from nsgp_repre_tpu.utils import checkpoint as ckpt_io
+
+    cov = ckpt_io.load_covariance(wd1)
+    assert any(k.startswith("backbone/") for k in cov)
+    assert any(k.startswith("neck/") for k in cov)
+    for k, v in cov.items():
+        assert v.shape[0] == v.shape[1]
+    rois = ckpt_io.load_rois_etc(wd1)
+    assert rois[0].shape[1] == 7 * 7 * 256
+    # stored features come from task-1 classes (or bg for padding)
+    assert ((rois[1] < 2) | (rois[1] == 4)).all()
+
+    # ---- task 2: teacher + NSGP + EWC + RePRE all active ----
+    cfg2 = make_cfg(voc_root, work_root, task_id=2)
+    r2 = NullSpaceRunner(cfg2)
+    assert r2.teacher_params is not None
+    assert r2.state.replay_feats is not None
+    assert len(r2.ewc_terms) > 0
+    tf = r2.state.opt_state.transforms
+    assert len(tf) > 0
+    assert all("rpn" not in k and "bbox_head" not in k for k in tf)
+    r2.train()
+    wd2 = cfg2["work_dir"]
+    # merged artifacts exist and grew
+    cov2 = ckpt_io.load_covariance(wd2)
+    assert set(cov2) >= set(cov)
+    rois2 = ckpt_io.load_rois_etc(wd2)
+    assert len(rois2[0]) > len(rois[0])
+    mAP = r2.val()
+    assert np.isfinite(mAP)
