@@ -1,7 +1,10 @@
 #!/usr/bin/env python
-"""Ablation profiler: time each stage of the train step on real hardware
-to find the bottleneck (backbone / RPN loss / NMS proposals / RoI head /
-backward). Run on the TPU: ``python tools/analysis_tools/profile_train_step.py``.
+"""Ablation profiler with forced serialization.
+
+Under the axon relay, ``block_until_ready`` doesn't reliably block, so
+each timed function is chained through a scalar data dependency (the
+previous output perturbs the next input) — per-step time is then real
+device time. Run on the TPU.
 """
 from __future__ import annotations
 
@@ -16,14 +19,16 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def timeit(fn, *args, n=10, warmup=2):
+def timeit_chained(fn, batch, n=10, warmup=2):
+    """fn(batch, eps) -> scalar; chained through eps."""
+    eps = jnp.zeros(())
     for _ in range(warmup):
-        out = fn(*args)
-    jax.block_until_ready(out)
+        eps = fn(batch, eps) * 0.0
+    float(eps)  # hard sync
     t0 = time.perf_counter()
     for _ in range(n):
-        out = fn(*args)
-    jax.block_until_ready(out)
+        eps = fn(batch, eps) * 0.0
+    float(eps)  # hard sync via host transfer
     return (time.perf_counter() - t0) / n
 
 
@@ -35,66 +40,87 @@ def main():
     B, H, W = 8, 608, 1024
     cfg = DetectorConfig(num_classes=20, compute_dtype="bfloat16")
     model = FasterRCNN(config=cfg)
-    batch = _tiny_batch(B, H, W, capacity=32)
-    variables = model.init(jax.random.PRNGKey(0), batch.images[:1].astype(jnp.float32))
+    batch0 = _tiny_batch(B, H, W, capacity=32)
+    variables = model.init(jax.random.PRNGKey(0), batch0.images[:1].astype(jnp.float32))
     rng = jax.random.PRNGKey(1)
 
-    def prep(b):
-        return b.replace(images=normalize_images(b.images))
+    def perturbed(b, eps):
+        return b.replace(images=normalize_images(b.images) + eps)
 
-    # 1. backbone+neck forward
     @jax.jit
-    def feat_fwd(v, b):
-        return model.apply(v, prep(b).images, method=model.extract_feat)
+    def noop(b, eps):
+        return b.images[0, 0, 0, 0].astype(jnp.float32) + eps
 
-    # 2. backbone+neck fwd+bwd (sum of outputs as dummy loss)
     @jax.jit
-    def feat_fwdbwd(v, b):
+    def feat_fwd(b, eps):
+        outs = model.apply(variables, perturbed(b, eps).images, method=model.extract_feat)
+        return outs[-1].sum()
+
+    @jax.jit
+    def feat_fwdbwd(b, eps):
         def loss(p):
             outs = model.apply(
-                {"params": p, **{k: x for k, x in v.items() if k != "params"}},
-                prep(b).images, method=model.extract_feat,
+                {"params": p, "batch_stats": variables["batch_stats"]},
+                perturbed(b, eps).images, method=model.extract_feat,
             )
             return sum(o.sum() for o in outs)
-        return jax.grad(loss)(v["params"])
+        g = jax.grad(loss)(variables["params"])
+        return jax.tree_util.tree_reduce(lambda a, x: a + x.sum(), g, jnp.zeros(()))
 
-    # 3. rpn loss + proposals fwd
     @jax.jit
-    def rpn_fwd(v, b, key):
-        bb = prep(b)
+    def rpn_fwd(b, eps):
+        bb = perturbed(b, eps)
         def inner(mdl):
             feats = mdl.extract_feat(bb.images)
-            return mdl.rpn_loss_and_proposals(feats, bb.gt, bb.img_shape, key)
-        return model.apply(v, method=inner)
+            losses, props = mdl.rpn_loss_and_proposals(feats, bb.gt, bb.img_shape, rng)
+            return losses["loss_rpn_cls"] + props.boxes.sum()
+        return model.apply(variables, method=inner)
 
-    # 4. full loss fwd
     @jax.jit
-    def full_fwd(v, b, key):
-        return model.apply(v, prep(b), key, method=model.loss)
+    def rpn_fwd_nonms(b, eps):
+        bb = perturbed(b, eps)
+        def inner(mdl):
+            feats = mdl.extract_feat(bb.images)
+            losses, _ = mdl.rpn_loss_and_proposals(
+                feats, bb.gt, bb.img_shape, rng, with_loss=True
+            )
+            return losses["loss_rpn_cls"] + losses["loss_rpn_bbox"]
+        return model.apply(variables, method=inner)
 
-    # 5. full loss fwd+bwd
     @jax.jit
-    def full_fwdbwd(v, b, key):
-        consts = {k: x for k, x in v.items() if k != "params"}
+    def full_fwd(b, eps):
+        losses = model.apply(variables, perturbed(b, eps), rng, method=model.loss)
+        return sum(v for k, v in losses.items() if "loss" in k)
+
+    @jax.jit
+    def full_fwdbwd(b, eps):
         def loss(p):
-            losses = model.apply({"params": p, **consts}, prep(b), key, method=model.loss)
-            return sum(x for k, x in losses.items() if "loss" in k)
-        return jax.grad(loss)(v["params"])
+            losses = model.apply(
+                {"params": p, "batch_stats": variables["batch_stats"]},
+                perturbed(b, eps), rng, method=model.loss,
+            )
+            return sum(v for k, v in losses.items() if "loss" in k)
+        g = jax.grad(loss)(variables["params"])
+        return jax.tree_util.tree_reduce(lambda a, x: a + x.sum(), g, jnp.zeros(()))
 
-    # 6. predict (inference path incl. RCNN NMS)
     @jax.jit
-    def predict(v, b):
-        return model.apply(v, prep(b), method=model.predict)
+    def predict(b, eps):
+        dets = model.apply(variables, perturbed(b, eps), method=model.predict)
+        return dets.boxes.sum()
 
-    results = {}
-    results["backbone_fpn_fwd"] = timeit(feat_fwd, variables, batch)
-    results["backbone_fpn_fwdbwd"] = timeit(feat_fwdbwd, variables, batch)
-    results["rpn_loss_proposals_fwd"] = timeit(rpn_fwd, variables, batch, rng)
-    results["full_loss_fwd"] = timeit(full_fwd, variables, batch, rng)
-    results["full_loss_fwdbwd"] = timeit(full_fwdbwd, variables, batch, rng)
-    results["predict"] = timeit(predict, variables, batch)
-    for k, v in results.items():
-        print(f"{k:28s} {v * 1000:8.1f} ms  ({B / v:6.1f} img/s)")
+    tests = [
+        ("noop_rtt", noop),
+        ("backbone_fpn_fwd", feat_fwd),
+        ("backbone_fpn_fwdbwd", feat_fwdbwd),
+        ("rpn_nolossnms_fwd", rpn_fwd_nonms),
+        ("rpn_loss+proposals_fwd", rpn_fwd),
+        ("full_loss_fwd", full_fwd),
+        ("full_loss_fwdbwd", full_fwdbwd),
+        ("predict", predict),
+    ]
+    for name, fn in tests:
+        dt = timeit_chained(fn, batch0)
+        print(f"{name:26s} {dt * 1000:8.1f} ms  ({B / dt:7.1f} img/s)")
 
 
 if __name__ == "__main__":
