@@ -30,6 +30,7 @@ from flax import linen as nn
 
 from ..ops.anchors import AnchorGenerator
 from ..ops.nms import batched_nms, nms
+from ..ops.topk import fast_top_k
 from ..ops.roi_align import multilevel_roi_align
 from ..structures.boxes import bbox2delta, bbox_clip, bbox_overlaps, delta2bbox
 from ..structures.sample import DetBatch, InstanceArray
@@ -90,6 +91,9 @@ class DetectorConfig:
     roi_thresh: float = 0.7
     pseudo_iou_skip: float = 0.7
     compute_dtype: str = "float32"
+    # TPU-fast approximate top-k for proposal pre-NMS selection and
+    # random-sampling priorities (ops/topk.py); disable for exact parity
+    use_approx_topk: bool = True
 
     @property
     def num_base_priors(self) -> int:
@@ -227,7 +231,7 @@ class FasterRCNN(nn.Module):
                 d = reg_i[off : off + n_l]
                 a = anchors[off : off + n_l]
                 k = min(cfg.rpn_nms_pre, n_l)
-                top_s, top_i = jax.lax.top_k(s, k)
+                top_s, top_i = fast_top_k(s, k, approx=cfg.use_approx_topk)
                 boxes = delta2bbox(a[top_i], d[top_i], max_shape=shape)
                 boxes_l.append(boxes)
                 scores_l.append(top_s)
@@ -295,13 +299,20 @@ class FasterRCNN(nn.Module):
 
     def _roi_feats(self, feats, rois, batch_idx):
         cfg = self.config
-        return multilevel_roi_align(
-            list(feats[: len(cfg.roi_strides)]), rois, batch_idx,
+        fs = list(feats[: len(cfg.roi_strides)])
+        if cfg.compute_dtype == "bfloat16":
+            # the RoIAlign gather is HBM-traffic bound (~53 GB/s gather
+            # pipeline); halving the bytes halves its cost. Weights and
+            # accumulation stay f32 inside multilevel_roi_align.
+            fs = [f.astype(jnp.bfloat16) for f in fs]
+        out = multilevel_roi_align(
+            fs, rois, batch_idx,
             strides=cfg.roi_strides,
             output_size=cfg.roi_out_size,
             sampling_ratio=cfg.roi_sampling_ratio,
             finest_scale=cfg.roi_finest_scale,
         )
+        return out.astype(jnp.float32)
 
     def roi_loss(self, feats, proposals, gt, rng,
                  replay_feats: Optional[jnp.ndarray] = None,

@@ -19,6 +19,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from ..ops.topk import fast_top_k
 from .assigners import NEG
 
 BIG = 1.0e6
@@ -29,9 +30,12 @@ def _kth_largest_threshold(priority: jnp.ndarray, mask: jnp.ndarray, k_max: int)
 
     Returns a function of a *dynamic* k (traced scalar): we take the
     static top-``k_max`` then index with the dynamic k.
+
+    Priorities are iid uniform, so the TPU-fast approximate top-k keeps
+    the selection exactly as random as the exact one.
     """
     masked = jnp.where(mask, priority, -jnp.inf)
-    top = jax.lax.top_k(masked, k_max)[0]  # (k_max,) descending
+    top = fast_top_k(masked, k_max)[0]  # (k_max,) descending
 
     def thresh(k_dyn):
         k = jnp.clip(k_dyn, 1, k_max)
@@ -95,6 +99,8 @@ def random_sample_gather(
     n = assigned.shape[0]
     u2 = jax.random.uniform(jax.random.fold_in(rng, 1), (n,))
     key = jnp.where(pos_mask, 2.0 * BIG + u2, jnp.where(neg_mask, BIG + u2, u2 - BIG))
+    # exact top_k here: the selected set (≤ num entries with key > 0) must
+    # ALL land in the output slots; approx recall could drop a sample.
     topv, topi = jax.lax.top_k(key, num)
     idx_valid = topv > 0.0
     idx_pos = topv > 2.0 * BIG - 1.0

@@ -192,8 +192,49 @@ def multilevel_roi_align(
     base = roi_off[:, None, None] + (
         batch_idx.astype(jnp.int32)[:, None, None] * roi_sz[:, None, None]
     )
-    lin = base + (iy * roi_w[:, None, None].astype(jnp.int32) + ix)
-    vals = jnp.take(flat, lin.reshape(-1), axis=0).reshape(R, -1, 4, C)
-    sampled = (vals * w[..., None]).sum(axis=2)
+    lin = base + (iy * roi_w[:, None, None].astype(jnp.int32) + ix)  # (R,P,4)
+
+    # ------------------------------------------------------------------
+    # Packed one-gather-per-sample scheme. TPU row-gathers are
+    # iteration-bound (~20 ns/row regardless of row bytes), so we pack
+    # ALL FOUR bilinear corners of a sample into ONE gathered row:
+    #   1. y-shift packing: v[i] = [flat[i], flat[i + W_l]] (2C) — a row
+    #      holds both y-corners of a pixel column. The +W shift is built
+    #      per level so rows never mix levels.
+    #   2. x-parity packing: u_even[k] = [v[2k], v[2k+1]],
+    #      u_odd[k] = [v[2k+1], v[2k+2]] (4C) — whichever buffer has
+    #      (x0, x0+1) in one row, selected by the parity of the pixel id.
+    # Clamped corners (x0 = W-1, y0 = H-1) read a garbage neighbor, but
+    # their bilinear weight is exactly 0 (see _bilinear_weights_indices).
+    # Net effect: 4x fewer gather (and backward scatter) iterations.
+    # ------------------------------------------------------------------
+    p0 = lin[:, :, 0]  # y0*W + x0 pixel id (per level/image base included)
+    # v: (N, 2C) — second half is the next row (y+1) WITHIN each level
+    shifted = []
+    for f, sz in zip(features, sizes):
+        w_l = f.shape[2]
+        fl = f.reshape(B * sz, C)
+        sh = jnp.concatenate([fl[w_l:], jnp.zeros((w_l, C), fl.dtype)], axis=0)
+        shifted.append(sh)
+    v = jnp.concatenate(
+        [flat, jnp.concatenate(shifted, axis=0)], axis=-1
+    )  # (N, 2C)
+    n_rows = v.shape[0]
+    pad = (-n_rows) % 2
+    if pad:
+        v = jnp.concatenate([v, jnp.zeros((pad, 2 * C), v.dtype)], axis=0)
+    half = v.shape[0] // 2
+    u_even = v.reshape(half, 4 * C)
+    v_shift = jnp.concatenate([v[1:], jnp.zeros((1, 2 * C), v.dtype)], axis=0)
+    u_odd = v_shift.reshape(half, 4 * C)
+    u = jnp.concatenate([u_even, u_odd], axis=0)  # (2*half, 4C)
+
+    parity = p0 & 1
+    idx = (p0 >> 1) + parity * half  # (R, P)
+    rows = jnp.take(u, idx.reshape(-1), axis=0).reshape(R, -1, 4, C)
+    # gathered corner order: [y0x0, y1x0, y0x1, y1x1]; weights are
+    # [y0x0, y0x1, y1x0, y1x1] → permute
+    w_perm = jnp.stack([w[..., 0], w[..., 2], w[..., 1], w[..., 3]], axis=-1)
+    sampled = (rows * w_perm[..., None]).sum(axis=2)  # (R, P, C)
     sampled = sampled.reshape(R, output_size, ss, output_size, ss, C)
     return sampled.mean(axis=(2, 4))
