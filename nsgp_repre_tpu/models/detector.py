@@ -30,7 +30,13 @@ from flax import linen as nn
 
 from ..ops.anchors import AnchorGenerator
 from ..ops.nms import batched_nms, nms
+from ..ops.nms_pallas import batched_nms_pallas
 from ..ops.topk import fast_top_k
+
+
+def _use_pallas() -> bool:
+    """Pallas kernels run on real TPU backends; CPU tests use XLA NMS."""
+    return jax.default_backend() not in ("cpu",)
 from ..ops.roi_align import multilevel_roi_align
 from ..structures.boxes import bbox2delta, bbox_clip, bbox_overlaps, delta2bbox
 from ..structures.sample import DetBatch, InstanceArray
@@ -223,7 +229,7 @@ class FasterRCNN(nn.Module):
             )
 
         # ---- proposals (rpn_head.py:136-306) ----
-        def proposals_one(cls_i, reg_i, shape):
+        def candidates_one(cls_i, reg_i, shape):
             boxes_l, scores_l, lvl_l = [], [], []
             off = 0
             for li, n_l in enumerate(level_sizes):
@@ -241,12 +247,21 @@ class FasterRCNN(nn.Module):
             scores = jnp.concatenate(scores_l)
             lvls = jnp.concatenate(lvl_l)
             wh_ok = (boxes[:, 2] > boxes[:, 0]) & (boxes[:, 3] > boxes[:, 1])
-            keep_idx, keep_valid = batched_nms(
+            return boxes, scores, lvls, wh_ok
+
+        boxes, scores, lvls, wh_ok = jax.vmap(candidates_one)(cls_flat, reg_flat, img_shape)
+        if _use_pallas():
+            keep_idx, p_valid = batched_nms_pallas(
                 boxes, scores, lvls, wh_ok, cfg.rpn_nms_iou, cfg.rpn_max_per_img
             )
-            return boxes[keep_idx], scores[keep_idx], keep_valid
-
-        p_boxes, p_scores, p_valid = jax.vmap(proposals_one)(cls_flat, reg_flat, img_shape)
+        else:
+            keep_idx, p_valid = jax.vmap(
+                lambda b, s, l, v: batched_nms(
+                    b, s, l, v, cfg.rpn_nms_iou, cfg.rpn_max_per_img
+                )
+            )(boxes, scores, lvls, wh_ok)
+        p_boxes = jnp.take_along_axis(boxes, keep_idx[..., None], axis=1)
+        p_scores = jnp.take_along_axis(scores, keep_idx, axis=1)
         proposals = InstanceArray(
             boxes=p_boxes,
             labels=jnp.zeros(p_boxes.shape[:2], jnp.int32),
@@ -424,20 +439,24 @@ class FasterRCNN(nn.Module):
                 (R, cfg.num_classes),
             ).reshape(-1)
             ok = (flat_scores > cfg.score_thr) & p_valid.repeat(cfg.num_classes)
-            keep_idx, keep_valid = batched_nms(
-                flat_boxes, flat_scores, flat_labels, ok, cfg.nms_iou, cfg.max_per_img
-            )
-            return (
-                flat_boxes[keep_idx],
-                flat_scores[keep_idx],
-                flat_labels[keep_idx],
-                keep_valid,
-            )
+            return flat_boxes, flat_scores, flat_labels, ok
 
-        db, ds, dl, dv = jax.vmap(one_image)(
+        fb, fs, fl, ok = jax.vmap(one_image)(
             proposals.boxes, proposals.valid, cls_score, bbox_pred,
             batch.img_shape, batch.scale_factor,
         )
+        # multiclass NMS (bbox_nms.py:12) over all class-boxes per image
+        if _use_pallas():
+            keep_idx, dv = batched_nms_pallas(
+                fb, fs, fl, ok, cfg.nms_iou, cfg.max_per_img
+            )
+        else:
+            keep_idx, dv = jax.vmap(
+                lambda b, s, l, v: batched_nms(b, s, l, v, cfg.nms_iou, cfg.max_per_img)
+            )(fb, fs, fl, ok)
+        db = jnp.take_along_axis(fb, keep_idx[..., None], axis=1)
+        ds = jnp.take_along_axis(fs, keep_idx, axis=1)
+        dl = jnp.take_along_axis(fl, keep_idx, axis=1)
         return InstanceArray(boxes=db, labels=dl, valid=dv, scores=ds)
 
     # ------------------------------------------------------------------

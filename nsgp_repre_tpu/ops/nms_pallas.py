@@ -3,12 +3,18 @@
 The XLA version (ops/nms.py) runs ``max_out`` sequential steps, each an
 argmax + IoU row over HBM-resident arrays. Proposal sets are small
 (~8-10k boxes ≈ 170 KB), so this kernel pins boxes/scores in VMEM for
-the entire loop: per-step cost becomes a VPU reduce + vector ops with no
-HBM round-trips. Grid = one program per image (the batch dimension).
+the entire loop: per-step cost becomes VPU reductions with no HBM
+round-trips. Grid = one program per image (the batch dimension).
 
-Semantics identical to ops.nms.nms: keep if IoU <= threshold, output
-``max_out`` slots + validity mask; suppressed-by-valid semantics via the
-score vector initialized to -inf outside the valid mask.
+Mosaic lowering constraints shape the kernel:
+- no dynamic scalar indexing → the selected box is extracted with
+  masked reductions (one-hot sum), not ``x[j]``;
+- no dynamic scalar stores → the kernel emits a (1, N) selection mask;
+  the caller recovers the score-ordered keep list with one cheap top_k
+  (greedy NMS selects in descending-score order by construction).
+
+Semantics match ops.nms.nms (keep if IoU <= threshold; ties broken by
+lowest index) assuming strictly distinct scores for the output ordering.
 """
 from __future__ import annotations
 
@@ -20,45 +26,45 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1.0e10
+BIG_IDX = 1 << 30
 
 
-def _nms_kernel(boxes_ref, scores_ref, out_idx_ref, out_valid_ref, live_ref,
+def _nms_kernel(x1_ref, y1_ref, x2_ref, y2_ref, scores_ref, sel_ref, live_ref,
                 *, iou_threshold: float, max_out: int):
-    n = boxes_ref.shape[1]
-    live_ref[:] = scores_ref[:]  # (1, N) — pre-masked by caller
+    n = scores_ref.shape[2]
+    live_ref[:] = scores_ref[0]  # (1, N), pre-masked by caller
+    sel_ref[0] = jnp.zeros_like(sel_ref[0])
 
-    x1 = boxes_ref[0, :, 0]
-    y1 = boxes_ref[0, :, 1]
-    x2 = boxes_ref[0, :, 2]
-    y2 = boxes_ref[0, :, 3]
+    x1 = x1_ref[0]
+    y1 = y1_ref[0]
+    x2 = x2_ref[0]
+    y2 = y2_ref[0]
     area = (x2 - x1) * (y2 - y1)
     idx_row = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
 
     def body(i, _):
         live = live_ref[:]
-        j = jnp.argmax(live[0])
-        ok = live[0, j] > NEG_INF / 2
-        out_idx_ref[0, i] = jnp.where(ok, j, 0).astype(jnp.int32)
-        out_valid_ref[0, i] = ok.astype(jnp.int32)
+        m = jnp.max(live)
+        ok = m > NEG_INF / 2
+        # lowest index among maxima (greedy argmax semantics)
+        j = jnp.min(jnp.where(live == m, idx_row, BIG_IDX))
+        sel = idx_row == j  # (1, N) one-hot
 
-        bx1 = x1[j]
-        by1 = y1[j]
-        bx2 = x2[j]
-        by2 = y2[j]
-        barea = area[j]
-        iw = jnp.maximum(
-            jnp.minimum(x2, bx2) - jnp.maximum(x1, bx1), 0.0
-        )
-        ih = jnp.maximum(
-            jnp.minimum(y2, by2) - jnp.maximum(y1, by1), 0.0
-        )
+        bx1 = jnp.sum(jnp.where(sel, x1, 0.0))
+        by1 = jnp.sum(jnp.where(sel, y1, 0.0))
+        bx2 = jnp.sum(jnp.where(sel, x2, 0.0))
+        by2 = jnp.sum(jnp.where(sel, y2, 0.0))
+        barea = (bx2 - bx1) * (by2 - by1)
+
+        iw = jnp.maximum(jnp.minimum(x2, bx2) - jnp.maximum(x1, bx1), 0.0)
+        ih = jnp.maximum(jnp.minimum(y2, by2) - jnp.maximum(y1, by1), 0.0)
         inter = iw * ih
         union = jnp.maximum(area + barea - inter, 1e-6)
         iou = inter / union
-        suppress = (iou > iou_threshold) | (idx_row[0] == j)
-        live_ref[:] = jnp.where(
-            (ok & suppress)[None, :], NEG_INF, live
-        )
+
+        suppress = (iou > iou_threshold) | sel
+        live_ref[:] = jnp.where(ok & suppress, NEG_INF, live)
+        sel_ref[0] = jnp.where(ok & sel, 1.0, sel_ref[0])
         return 0
 
     jax.lax.fori_loop(0, max_out, body, 0)
@@ -83,7 +89,8 @@ def nms_pallas(
         boxes: (B, N, 4); scores: (B, N); valid: (B, N) bool.
 
     Returns:
-        keep_idx (B, max_out) int32, keep_valid (B, max_out) bool.
+        keep_idx (B, max_out) int32, keep_valid (B, max_out) bool —
+        selections in descending score order (= greedy pick order).
     """
     B, N = scores.shape
     Np = _round_up(N, 128)
@@ -97,26 +104,25 @@ def nms_pallas(
     kernel = functools.partial(
         _nms_kernel, iou_threshold=iou_threshold, max_out=max_out
     )
-    Kp = _round_up(max_out, 128)
-    out_idx, out_valid = pl.pallas_call(
+    coord_spec = pl.BlockSpec((1, 1, Np), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
+    bx = boxes.astype(jnp.float32)
+    coords = [bx[:, None, :, i] for i in range(4)]
+    selected = pl.pallas_call(
         kernel,
         grid=(B,),
-        in_specs=[
-            pl.BlockSpec((1, Np, 4), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Np), lambda b: (b, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, Kp), lambda b: (b, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Kp), lambda b: (b, 0), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((B, Kp), jnp.int32),
-            jax.ShapeDtypeStruct((B, Kp), jnp.int32),
-        ],
+        in_specs=[coord_spec] * 5,
+        out_specs=pl.BlockSpec((1, 1, Np), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, 1, Np), jnp.float32),
         scratch_shapes=[pltpu.VMEM((1, Np), jnp.float32)],
         interpret=interpret,
-    )(boxes.astype(jnp.float32), masked_scores)
-    return out_idx[:, :max_out], out_valid[:, :max_out].astype(bool)
+    )(*coords, masked_scores[:, None, :])
+    selected = selected[:, 0, :]
+
+    # recover the keep list in selection (descending-score) order
+    keep_scores = jnp.where(selected > 0.5, masked_scores, NEG_INF)
+    vals, keep_idx = jax.lax.top_k(keep_scores, max_out)
+    keep_valid = vals > NEG_INF / 2
+    return keep_idx.astype(jnp.int32), keep_valid
 
 
 def batched_nms_pallas(boxes, scores, idxs, valid, iou_threshold, max_out,
