@@ -249,7 +249,11 @@ class FasterRCNN(nn.Module):
             wh_ok = (boxes[:, 2] > boxes[:, 0]) & (boxes[:, 3] > boxes[:, 1])
             return boxes, scores, lvls, wh_ok
 
-        boxes, scores, lvls, wh_ok = jax.vmap(candidates_one)(cls_flat, reg_flat, img_shape)
+        # proposals are constants downstream (torch RoIAlign/NMS carry no
+        # gradient to roi coordinates; mmdet treats them as data)
+        boxes, scores, lvls, wh_ok = jax.lax.stop_gradient(
+            jax.vmap(candidates_one)(cls_flat, reg_flat, img_shape)
+        )
         if _use_pallas():
             keep_idx, p_valid = batched_nms_pallas(
                 boxes, scores, lvls, wh_ok, cfg.rpn_nms_iou, cfg.rpn_max_per_img
