@@ -133,12 +133,16 @@ class FasterRCNN(nn.Module):
     # ------------------------------------------------------------------
     # feature extraction
     # ------------------------------------------------------------------
+    @property
+    def _dtype(self):
+        return jnp.bfloat16 if self.config.compute_dtype == "bfloat16" else jnp.float32
+
     def extract_feat(self, images: jnp.ndarray) -> Tuple[jnp.ndarray, ...]:
-        """images (B,H,W,3) → 5 FPN levels (two_stage.py:100)."""
-        dtype = jnp.bfloat16 if self.config.compute_dtype == "bfloat16" else jnp.float32
-        feats = self.backbone(images.astype(dtype))
-        outs = self.neck(feats)
-        return tuple(f.astype(jnp.float32) for f in outs)
+        """images (B,H,W,3) → 5 FPN levels in compute dtype
+        (two_stage.py:100). Heads cast their outputs to f32; keeping the
+        pyramid in bf16 halves RPN-conv FLOPs and RoIAlign gather bytes."""
+        feats = self.backbone(images.astype(self._dtype))
+        return self.neck(feats)
 
     def __call__(self, images: jnp.ndarray):
         """Init/entry convenience: full forward to RPN maps."""
@@ -197,10 +201,10 @@ class FasterRCNN(nn.Module):
         # flatten per level: (B, H, W, A) → (B, N_l); keep level splits
         cls_flat = jnp.concatenate(
             [m.reshape(B, -1) for m in cls_maps], axis=1
-        )  # (B, N)
+        ).astype(jnp.float32)  # (B, N)
         reg_flat = jnp.concatenate(
             [m.reshape(B, -1, 4) for m in reg_maps], axis=1
-        )  # (B, N, 4)
+        ).astype(jnp.float32)  # (B, N, 4)
         level_sizes = [s[0] * s[1] * A for s in sizes]
 
         losses = {}
@@ -317,13 +321,10 @@ class FasterRCNN(nn.Module):
         )
 
     def _roi_feats(self, feats, rois, batch_idx):
+        """RoIAlign in the compute dtype (the gather is HBM-traffic
+        bound; bf16 halves its bytes). Accumulation is f32 inside."""
         cfg = self.config
-        fs = list(feats[: len(cfg.roi_strides)])
-        if cfg.compute_dtype == "bfloat16":
-            # the RoIAlign gather is HBM-traffic bound (~53 GB/s gather
-            # pipeline); halving the bytes halves its cost. Weights and
-            # accumulation stay f32 inside multilevel_roi_align.
-            fs = [f.astype(jnp.bfloat16) for f in fs]
+        fs = [f.astype(self._dtype) for f in feats[: len(cfg.roi_strides)]]
         out = multilevel_roi_align(
             fs, rois, batch_idx,
             strides=cfg.roi_strides,
@@ -331,7 +332,7 @@ class FasterRCNN(nn.Module):
             sampling_ratio=cfg.roi_sampling_ratio,
             finest_scale=cfg.roi_finest_scale,
         )
-        return out.astype(jnp.float32)
+        return out.astype(self._dtype)
 
     def roi_loss(self, feats, proposals, gt, rng,
                  replay_feats: Optional[jnp.ndarray] = None,
@@ -340,6 +341,8 @@ class FasterRCNN(nn.Module):
         rois, batch_idx, labels, valid, pos, tgt = self._sample_rois(proposals, gt, rng)
         roi_feats = self._roi_feats(feats, rois, batch_idx)
         cls_score, bbox_pred = self.bbox_head(roi_feats)
+        cls_score = cls_score.astype(jnp.float32)
+        bbox_pred = bbox_pred.astype(jnp.float32)
 
         label_w = valid.astype(jnp.float32)
         avg = jnp.maximum(label_w.sum(), 1.0)
@@ -371,7 +374,8 @@ class FasterRCNN(nn.Module):
         (it changes gradients; SURVEY §7 hard part (3)).
         """
         cfg = self.config
-        cls_score, _ = self.bbox_head(replay_feats)
+        cls_score, _ = self.bbox_head(replay_feats.astype(self._dtype))
+        cls_score = cls_score.astype(jnp.float32)
         pre_idx = cfg.task_split[cfg.task_id]
         sliced = jnp.concatenate(
             [cls_score[:, :pre_idx], cls_score[:, -1:]], axis=-1
@@ -423,8 +427,8 @@ class FasterRCNN(nn.Module):
         ).reshape(-1)
         roi_feats = self._roi_feats(feats, rois, batch_idx)
         cls_score, bbox_pred = self.bbox_head(roi_feats)
-        cls_score = cls_score.reshape(B, R, -1)
-        bbox_pred = bbox_pred.reshape(B, R, -1)
+        cls_score = cls_score.astype(jnp.float32).reshape(B, R, -1)
+        bbox_pred = bbox_pred.astype(jnp.float32).reshape(B, R, -1)
 
         def one_image(p_boxes, p_valid, scores, deltas, shape, scale):
             boxes = delta2bbox(
@@ -485,7 +489,8 @@ class FasterRCNN(nn.Module):
             proposals, batch.gt, k2
         )
         roi_feats = self._roi_feats(feats, rois, batch_idx)
-        mid = self.bbox_head.mid_features(roi_feats)  # (N, 12544)
+        # stored RoI features are f32 (rois_etc artifact protocol)
+        mid = self.bbox_head.mid_features(roi_feats).astype(jnp.float32)
 
         fg = pos & valid  # labels != bg
         n_fg = fg.sum()
