@@ -377,6 +377,43 @@ class NullSpaceRunner:
         return {"params": self.state.params, "batch_stats": self.state.batch_stats}
 
     # ------------------------------------------------------------------
+    # ------------------------------------------------------------------
+    # resume (task 1 only — nsrunner:551 forbids task>1 resume because
+    # the teacher is initialized from load_from)
+    # ------------------------------------------------------------------
+    def _save_resume_state(self, epoch: int):
+        tree = {
+            "params": self.state.params,
+            "batch_stats": self.state.batch_stats,
+            "momentum": self.state.opt_state.momentum,
+            "count": self.state.opt_state.count,
+            "step": self.state.step,
+            "epoch": jnp.asarray(epoch),
+        }
+        ckpt_io.save_pytree(osp.join(self.work_dir, "resume_state.npz"), tree)
+
+    def _try_resume(self) -> int:
+        path = osp.join(self.work_dir, "resume_state.npz")
+        if not (self.cfg.get("resume", False) and osp.exists(path)):
+            return 0
+        flat = ckpt_io.load_pytree_flat(path)
+        pick = lambda pre, tmpl: ckpt_io.restore_into(
+            tmpl, {k[len(pre):]: v for k, v in flat.items() if k.startswith(pre)}
+        )
+        params = pick("params/", self.state.params)
+        stats = pick("batch_stats/", self.state.batch_stats)
+        momentum = pick("momentum/", self.state.opt_state.momentum)
+        opt_state = self.state.opt_state._replace(
+            momentum=momentum, count=jnp.asarray(flat["count"])
+        )
+        self.state = self.state.replace(
+            params=params, batch_stats=stats, opt_state=opt_state,
+            step=jnp.asarray(flat["step"]),
+        )
+        epoch = int(flat["epoch"]) + 1
+        logger.info(f"resumed from {path} at epoch {epoch}")
+        return epoch
+
     def train(self):
         assert not self.cfg.get("resume", False) or self.task_id == 1, (
             "Resume is not allowed for task>1: the teacher is initialized "
@@ -385,11 +422,18 @@ class NullSpaceRunner:
         best_map = -1.0
         rng = jax.random.PRNGKey(self.seed + 1)
         log_path = osp.join(self.work_dir, "scalars.json")
+        start_epoch = self._try_resume()
+        profile_dir = self.cfg.get("profile_dir")
         if not self.is_trained:
             log_f = open(log_path, "a")
-            for epoch in range(self.max_epochs):
+            for epoch in range(start_epoch, self.max_epochs):
                 self.train_loader.set_epoch(epoch)
                 for it, (batch, _) in enumerate(self.train_loader):
+                    if profile_dir and epoch == 0 and it == 10:
+                        jax.profiler.start_trace(profile_dir)
+                    if profile_dir and epoch == 0 and it == 15:
+                        jax.profiler.stop_trace()
+                        logger.info(f"profiler trace saved to {profile_dir}")
                     batch = self._device_batch(batch)
                     rng, key = jax.random.split(rng)
                     t0 = time.time()
@@ -410,6 +454,8 @@ class NullSpaceRunner:
                 mAP = self.val()
                 logger.info(f"epoch {epoch}: mAP {mAP:.4f}")
                 self._save_checkpoint(f"epoch_{epoch}.npz")
+                if self.task_id == 1:
+                    self._save_resume_state(epoch)
                 last = osp.join(self.work_dir, f"epoch_{epoch - 1}.npz")
                 if osp.exists(last):
                     os.remove(last)  # max_keep_ckpts=1

@@ -27,6 +27,25 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def maybe_init_distributed() -> None:
+    """Multi-host initialization from env (dist_train.sh contract).
+
+    On TPU pods jax.distributed.initialize() discovers the topology from
+    the runtime; for manual multi-process runs set JAX_COORDINATOR,
+    JAX_NUM_PROCESSES, JAX_PROCESS_ID. Replaces torch.distributed.launch
+    + NCCL init (SURVEY §2.7).
+    """
+    import os
+
+    coord = os.environ.get("JAX_COORDINATOR")
+    if coord:
+        jax.distributed.initialize(
+            coordinator_address=coord,
+            num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
+            process_id=int(os.environ["JAX_PROCESS_ID"]),
+        )
+
+
 def create_mesh(n_devices: Optional[int] = None, axis_name: str = "data") -> Mesh:
     """1-D data-parallel mesh over the first ``n_devices`` devices."""
     devices = jax.devices()

@@ -223,3 +223,32 @@ class TestConfig:
         assert det.task_id == 2
         assert det.rpn_thresh == 0.5 and det.roi_thresh == 0.7
         assert det.rcnn_num == 512
+
+
+class TestMoreConfigs:
+    def test_dior_config(self):
+        cfg = load_config("cl_faster_rcnn_cfgs/_base_/datasets/dior__n-1_n_2.py")
+        assert cfg.task_id == 2
+        assert cfg.train_task_split == [0, 5, 10, 15, 20]
+        assert cfg.train_dataloader.dataset.type == "DIORTask"
+
+    def test_joint_config(self):
+        cfg = load_config(
+            "cl_faster_rcnn_cfgs/incremental_task/cl_faster_rcnn_joint_voc20.py"
+        )
+        assert "joint" in cfg.work_dir
+        assert cfg.train_task_split == [0, 20]
+
+    def test_coco_leaf_config(self):
+        cfg = load_config(
+            "cl_faster_rcnn_cfgs/cl_coco/cl_faster_rcnn_ns2_split_id_40_40_2.py"
+        )
+        assert cfg.task_id == 2
+        assert cfg.model.roi_head.bbox_head.num_classes == 80
+        assert cfg.reserve_per_class == 50
+        assert cfg.train_cfg.max_epochs == 12
+        from nsgp_repre_tpu.engine.runner import detector_config_from_cfg
+
+        det = detector_config_from_cfg(cfg)
+        assert det.num_classes == 80
+        assert det.task_split == (0, 40, 80)

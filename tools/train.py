@@ -43,6 +43,9 @@ def main():
     logging.basicConfig(
         level=logging.INFO, format="%(asctime)s %(levelname)s %(message)s"
     )
+    from nsgp_repre_tpu.parallel.mesh import maybe_init_distributed
+
+    maybe_init_distributed()
     args = parse_args()
     cfg = load_config(args.config, overrides=args.cfg_options)
     if args.work_dir:
