@@ -29,7 +29,7 @@ def main():
     from nsgp_repre_tpu.engine.train import TrainState, make_train_step, trainable_mask
     from nsgp_repre_tpu.models.detector import DetectorConfig, FasterRCNN
 
-    B, H, W = 8, 608, 1024
+    B, H, W = 16, 608, 1024
     cfg = DetectorConfig(
         num_classes=20,
         task_split=(0, 20),

@@ -1,0 +1,52 @@
+"""Background-thread batch prefetching.
+
+The reference overlaps host data work with GPU compute via torch
+DataLoader worker processes (num_workers=2, persistent_workers=True in
+the dataset configs). Image decode/resize here goes through cv2, which
+releases the GIL, so a small thread pool overlaps the host pipeline with
+device steps without multiprocessing.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator
+
+
+class PrefetchLoader:
+    """Wrap a DetLoader; a worker thread keeps ``buffer_size`` batches ready."""
+
+    def __init__(self, loader, buffer_size: int = 2):
+        self.loader = loader
+        self.buffer_size = buffer_size
+
+    def __len__(self):
+        return len(self.loader)
+
+    def set_epoch(self, epoch: int):
+        self.loader.set_epoch(epoch)
+
+    def __iter__(self) -> Iterator:
+        q: queue.Queue = queue.Queue(maxsize=self.buffer_size)
+        sentinel = object()
+        error = []
+
+        def worker():
+            try:
+                for item in self.loader:
+                    q.put(item)
+            except BaseException as e:  # surface worker errors to the consumer
+                error.append(e)
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item
+        t.join()
+        if error:
+            raise error[0]

@@ -182,14 +182,16 @@ class NullSpaceRunner:
         self.train_dataset = build_dataset(_leaf_dataset(tl_cfg.get("dataset", {})))
         self.val_dataset = build_dataset(_leaf_dataset(vl_cfg.get("dataset", {})))
         scale = tuple(cfg.get("img_scale", (1000, 600)))
-        self.train_loader = DetLoader(
+        from ..datasets.prefetch import PrefetchLoader
+
+        self.train_loader = PrefetchLoader(DetLoader(
             self.train_dataset,
             batch_size=tl_cfg.get("batch_size", 16),
             scale=scale,
             training=True,
             repeat=_dataset_repeat(tl_cfg.get("dataset", {})),
             seed=self.seed,
-        )
+        ), buffer_size=tl_cfg.get("num_workers", 2))
         self.val_loader = DetLoader(
             self.val_dataset,
             batch_size=vl_cfg.get("batch_size", tl_cfg.get("batch_size", 16)),

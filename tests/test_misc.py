@@ -1,0 +1,58 @@
+"""Testing utilities, prefetch loader, benchmark helpers."""
+import numpy as np
+
+from nsgp_repre_tpu.testing import demo_det_batch, tiny_detector_config
+
+
+def test_demo_det_batch():
+    b = demo_det_batch(batch_size=2, num_instances=(2, 3), gt_capacity=8)
+    assert b.images.shape == (2, 64, 64, 3)
+    assert int(b.gt.valid[0].sum()) == 2
+    assert int(b.gt.valid[1].sum()) == 3
+    v = np.asarray(b.gt.valid)
+    boxes = np.asarray(b.gt.boxes)
+    assert (boxes[v][:, 2] > boxes[v][:, 0]).all()
+
+
+def test_tiny_detector_config():
+    cfg = tiny_detector_config(task_id=2)
+    assert cfg.task_id == 2
+    assert cfg.backbone_blocks == (1, 1, 1, 1)
+
+
+def test_prefetch_loader_matches_plain():
+    from nsgp_repre_tpu.datasets.prefetch import PrefetchLoader
+
+    class FakeLoader:
+        def __init__(self):
+            self.epoch = 0
+        def set_epoch(self, e):
+            self.epoch = e
+        def __len__(self):
+            return 5
+        def __iter__(self):
+            for i in range(5):
+                yield (np.full((2, 2), i), [i])
+
+    pf = PrefetchLoader(FakeLoader(), buffer_size=2)
+    assert len(pf) == 5
+    items = [ids[0] for _, ids in pf]
+    assert items == [0, 1, 2, 3, 4]
+    # reusable
+    items = [ids[0] for _, ids in pf]
+    assert items == [0, 1, 2, 3, 4]
+
+
+def test_prefetch_propagates_errors():
+    from nsgp_repre_tpu.datasets.prefetch import PrefetchLoader
+
+    class Bad:
+        def __iter__(self):
+            yield 1
+            raise ValueError("boom")
+        def __len__(self):
+            return 2
+
+    import pytest
+    with pytest.raises(ValueError):
+        list(PrefetchLoader(Bad()))
