@@ -147,11 +147,10 @@ class DetInferencer:
     ) -> dict:
         single = not isinstance(inputs, (list, tuple))
         items = [inputs] if single else list(inputs)
+        # items is always a list here, so this returns a list of dicts
         predictions = inference_detector(
             self.detector, items, score_thr=self.pred_score_thr
         )
-        if single:
-            predictions = [predictions]
         visualizations = []
         if out_dir and not no_save_vis:
             import os

@@ -162,3 +162,30 @@ def accumulate_cov(
     if total is None:
         return dict(new)
     return {k: total[k] + v for k, v in new.items()}
+
+
+def plot_spectra(
+    cov_dict: Dict[str, jnp.ndarray],
+    save_path: str,
+    offset: float = 0.0,
+) -> None:
+    """Singular-value spectrum grid with the elbow split colored
+    (plot_sval_figures, SGD_NSCL.py:180-201)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    names = list(cov_dict.keys())
+    rows = len(names) // 4 + 1
+    fig, axes = plt.subplots(rows, 4, figsize=(15, max(3 * rows, 3)), squeeze=False)
+    for i, name in enumerate(names):
+        evals = np.maximum(np.asarray(eigh_descending(jnp.asarray(cov_dict[name]))[0]), 0.0)
+        i_thres = adaptive_threshold_index(evals, offset)
+        ax = axes[i // 4][i % 4]
+        ax.plot(np.arange(i_thres + 1), evals[: i_thres + 1], color="blue")
+        ax.plot(np.arange(i_thres, len(evals)), evals[i_thres:], color="red")
+        ax.set_title(name, fontsize=6)
+    fig.tight_layout()
+    fig.savefig(save_path)
+    plt.close(fig)
