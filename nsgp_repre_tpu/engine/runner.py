@@ -107,6 +107,7 @@ def detector_config_from_cfg(cfg: Config) -> DetectorConfig:
         backbone_blocks=tuple(
             model.get("backbone", {}).get("stage_blocks", (3, 4, 6, 3))
         ),
+        frozen_stages=model.get("backbone", {}).get("frozen_stages", 1),
     )
 
 

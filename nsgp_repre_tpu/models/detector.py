@@ -91,6 +91,7 @@ class DetectorConfig:
     # backbone depth knob — (3,4,6,3) = ResNet-50; tests shrink it the way
     # the reference shrinks R50→R18 (tests/test_detectors/test_two_stage.py:26)
     backbone_blocks: Tuple[int, ...] = (3, 4, 6, 3)
+    frozen_stages: int = 1
     # replay (RePRE) — prototypes are injected as arrays at train time
     # teacher pseudo-label thresholds (rr_thresh; nsrunner:356)
     rpn_thresh: float = 0.5
@@ -113,7 +114,11 @@ class FasterRCNN(nn.Module):
 
     def setup(self):
         cfg = self.config
-        self.backbone = ResNet50(stage_blocks=cfg.backbone_blocks, name="backbone")
+        self.backbone = ResNet50(
+            stage_blocks=cfg.backbone_blocks,
+            frozen_stages=cfg.frozen_stages,
+            name="backbone",
+        )
         self.neck = FPN(out_channels=256, num_outs=5, name="neck")
         self.rpn_head = RPNHead(
             feat_channels=256, num_base_priors=cfg.num_base_priors, name="rpn_head"
@@ -218,7 +223,12 @@ class FasterRCNN(nn.Module):
                 )
                 pos, neg = random_sample_masks(key, assigned, cfg.rpn_num, cfg.rpn_pos_fraction)
                 g = jnp.clip(assigned, 0)
-                tgt = bbox2delta(anchors, gt_boxes[g])
+                # per-anchor matched-gt boxes via one-hot matmul: a 155k-row
+                # gather is ~40 ms/batch on TPU; the (N, G) @ (G, 4) matmul
+                # is sub-ms on the MXU
+                onehot = jax.nn.one_hot(g, gt_boxes.shape[0], dtype=jnp.float32)
+                matched = onehot @ gt_boxes
+                tgt = bbox2delta(anchors, matched)
                 return pos, neg, tgt
 
             keys = jax.random.split(rng, B)

@@ -52,13 +52,23 @@ class Bottleneck(nn.Module):
 
 
 class ResNet50(nn.Module):
-    """Returns the four stage outputs (C2..C5), strides 4/8/16/32."""
+    """Returns the four stage outputs (C2..C5), strides 4/8/16/32.
+
+    ``frozen_stages=1`` (config default) freezes the stem + stage 1 like
+    mmdet: besides the optimizer's trainable mask, a stop_gradient after
+    the last frozen stage skips the whole high-resolution backward
+    through stem/layer1 — exactly what torch's requires_grad=False does
+    (frozen params ⇒ no grads flow below them).
+    """
 
     stage_blocks: Sequence[int] = (3, 4, 6, 3)
     base_channels: int = 64
+    frozen_stages: int = 1
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, ...]:
+        import jax
+
         y = CovConv(self.base_channels, (7, 7), (2, 2), (3, 3), use_bias=False, name="conv1")(x)
         y = FrozenBatchNorm(name="bn1")(y)
         y = nn.relu(y)
@@ -77,5 +87,7 @@ class ResNet50(nn.Module):
                     stride=stride,
                     name=f"layer{stage + 1}_{block}",
                 )(y)
+            if stage + 1 == self.frozen_stages:
+                y = jax.lax.stop_gradient(y)
             outs.append(y)
         return tuple(outs)

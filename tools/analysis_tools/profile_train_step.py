@@ -37,7 +37,7 @@ def main():
     from nsgp_repre_tpu.engine.train import normalize_images
     from nsgp_repre_tpu.models.detector import DetectorConfig, FasterRCNN
 
-    B, H, W = 8, 608, 1024
+    B, H, W = 16, 608, 1024
     cfg = DetectorConfig(num_classes=20, compute_dtype="bfloat16")
     model = FasterRCNN(config=cfg)
     batch0 = _tiny_batch(B, H, W, capacity=32)
