@@ -185,6 +185,7 @@ class NullSpaceRunner:
         scale = tuple(cfg.get("img_scale", (1000, 600)))
         from ..datasets.prefetch import PrefetchLoader
 
+        gt_capacity = cfg.get("gt_capacity", 64)
         self.train_loader = PrefetchLoader(DetLoader(
             self.train_dataset,
             batch_size=tl_cfg.get("batch_size", 16),
@@ -192,12 +193,14 @@ class NullSpaceRunner:
             training=True,
             repeat=_dataset_repeat(tl_cfg.get("dataset", {})),
             seed=self.seed,
+            gt_capacity=gt_capacity,
         ), buffer_size=tl_cfg.get("num_workers", 2))
         self.val_loader = DetLoader(
             self.val_dataset,
             batch_size=vl_cfg.get("batch_size", tl_cfg.get("batch_size", 16)),
             scale=scale,
             training=False,
+            gt_capacity=gt_capacity,
         )
 
         # ---- schedule / optimizer ----
@@ -213,8 +216,14 @@ class NullSpaceRunner:
                 if s.get("type") == "LinearLR":
                     warmup = s.get("end", warmup)
         steps_per_epoch = max(len(self.train_loader), 1)
+        base_lr = opt_cfg.get("lr", 0.02)
+        # auto_scale_lr (linear scaling rule; schedule_1x_sgdnscl.py:47-51,
+        # disabled by default with base_batch_size=16)
+        asl = cfg.get("auto_scale_lr", {})
+        if asl.get("enable", False):
+            base_lr = base_lr * tl_cfg.get("batch_size", 16) / asl.get("base_batch_size", 16)
         self.lr_schedule = make_lr_schedule(
-            opt_cfg.get("lr", 0.02),
+            base_lr,
             steps_per_epoch,
             max_epochs=self.max_epochs,
             milestones=milestones,
