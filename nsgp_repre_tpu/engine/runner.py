@@ -343,7 +343,7 @@ class NullSpaceRunner:
         self.eval_step = make_eval_step(self.model)
         self.cov_step = make_cov_step(self.model)
         self.roi_step = make_roi_extract_step(self.model)
-        self.imp_step = make_importance_step(self.model)
+        self.imp_step = make_importance_step(self.model, self.teacher_model)
 
         self.state = TrainState(
             params=self.params,
@@ -623,7 +623,6 @@ class NullSpaceRunner:
     def calculate_save_importance(self, max_batches: Optional[int] = None):
         """EWC Fisher diagonal over the train set (nsrunner:946-990)."""
         logger.info("cal importance ...")
-        variables = self._variables()
         rng = jax.random.PRNGKey(self.seed + 4)
         importance = ewc_lib.init_importance(self.state.params)
         n_batches = len(self.train_loader)
@@ -633,7 +632,7 @@ class NullSpaceRunner:
                 break
             batch = self._device_batch(batch)
             rng, key = jax.random.split(rng)
-            grads = self.imp_step(variables, batch, key)
+            grads = self.imp_step(self.state, batch, key)
             importance = ewc_lib.accumulate_importance(
                 importance, grads, batch.images.shape[0], n_batches
             )
@@ -650,7 +649,6 @@ class TeacherRunner(NullSpaceRunner):
 
     def __init__(self, cfg: Config):
         super().__init__(cfg, use_nsgp=False)
-        self.use_teacher = cfg.get("use_teacher", True) and self.task_id != 1
 
     def train(self):
         best_map = -1.0

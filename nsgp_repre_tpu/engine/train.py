@@ -205,21 +205,46 @@ def make_roi_extract_step(model: FasterRCNN, target_count: int = 5):
     return jax.jit(roi_fn)
 
 
-def make_importance_step(model: FasterRCNN):
+def make_importance_step(model: FasterRCNN, teacher_model: Optional[FasterRCNN] = None):
     """Jitted EWC-importance step: per-batch squared grads of BN params
-    (calculate_save_importance, nsrunner:946-990)."""
+    (calculate_save_importance, nsrunner:946-990).
 
-    def imp_fn(variables, batch: DetBatch, rng: jax.Array):
+    The reference runs ``model._run_forward(mode='loss')`` (:972) AFTER
+    training, when the teacher is attached and model.loss is EWC-wrapped
+    — so at task≥2 the importance includes the pseudo-label, replay and
+    EWC terms. Reproduced by reusing the full train-step loss.
+    """
+
+    def imp_fn(state: TrainState, batch: DetBatch, rng: jax.Array):
         batch = batch.replace(images=normalize_images(batch.images))
-        params = variables["params"]
-        consts = {k: v for k, v in variables.items() if k != "params"}
+        rpn_gt = roi_gt = None
+        if teacher_model is not None and state.teacher_params is not None:
+            teacher_vars = {
+                "params": state.teacher_params,
+                "batch_stats": state.batch_stats,
+            }
+            dets = teacher_model.apply(
+                teacher_vars, batch, False, method=teacher_model.predict
+            )
+            dets = jax.lax.stop_gradient(dets)
+            rpn_gt, roi_gt = merge_pseudo_labels(
+                batch.gt, dets,
+                rpn_thresh=model.config.rpn_thresh,
+                roi_thresh=model.config.roi_thresh,
+                iou_skip=model.config.pseudo_iou_skip,
+            )
 
         def loss_fn(p):
             losses = model.apply(
-                {"params": p, **consts}, batch, rng, method=model.loss
+                {"params": p, "batch_stats": state.batch_stats}, batch, rng,
+                rpn_gt, roi_gt,
+                state.replay_feats, state.replay_labels,
+                method=model.loss,
             )
+            if state.ewc_terms:
+                losses["ewc_loss"] = ewc_loss(p, state.ewc_terms)
             return total_loss(losses)
 
-        return jax.grad(loss_fn)(params)
+        return jax.grad(loss_fn)(state.params)
 
     return jax.jit(imp_fn)

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from typing import Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -67,8 +68,6 @@ class ResNet50(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, ...]:
-        import jax
-
         y = CovConv(self.base_channels, (7, 7), (2, 2), (3, 3), use_bias=False, name="conv1")(x)
         y = FrozenBatchNorm(name="bn1")(y)
         y = nn.relu(y)
