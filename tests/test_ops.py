@@ -170,3 +170,25 @@ class TestRoIAlign:
 
         g = jax.grad(loss)(f)
         assert np.asarray(g).sum() > 0
+
+
+class TestRoIPool:
+    def test_max_pool_constant(self):
+        import jax.numpy as jnp
+
+        from nsgp_repre_tpu.ops.roi_pool import roi_pool
+
+        f = jnp.full((1, 16, 16, 4), 2.0)
+        out = roi_pool(f, jnp.array([[0.0, 0, 8, 8]]), jnp.array([0]), output_size=2)
+        assert out.shape == (1, 2, 2, 4)
+        np.testing.assert_allclose(np.asarray(out), 2.0)
+
+    def test_max_pool_picks_max(self):
+        import jax.numpy as jnp
+
+        from nsgp_repre_tpu.ops.roi_pool import roi_pool
+
+        f = np.zeros((1, 8, 8, 1), np.float32)
+        f[0, 1, 1, 0] = 5.0
+        out = roi_pool(jnp.asarray(f), jnp.array([[0.0, 0, 4, 4]]), jnp.array([0]), output_size=2)
+        assert float(np.asarray(out).max()) == 5.0
