@@ -81,4 +81,14 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    # the axon compile relay occasionally drops a response mid-read;
+    # retry the whole run a couple of times before giving up
+    for attempt in range(3):
+        try:
+            main()
+            break
+        except Exception as e:  # pragma: no cover
+            if attempt == 2:
+                raise
+            print(f"# bench attempt {attempt} failed ({type(e).__name__}); retrying", flush=True)
+            time.sleep(10)
