@@ -7,3 +7,8 @@ log_level = "INFO"
 load_from = None
 resume = False
 runner_type = "BRNullSpaceRunner"
+
+# TPU compute dtype: bf16 MXU path (mmdet's FP16 row shows identical mAP
+# for this model — configs/faster_rcnn/README.md:23); set "float32" for
+# exact-parity debugging.
+compute_dtype = "bfloat16"

@@ -7,3 +7,5 @@ log_level = "INFO"
 load_from = None
 resume = False
 runner_type = "TeacherRunner"
+
+compute_dtype = "bfloat16"
