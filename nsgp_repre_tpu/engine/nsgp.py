@@ -105,8 +105,12 @@ def build_transforms(
     for name, cov in cov_dict.items():
         if any(re.match(p, name) for p in ignore_patterns):
             continue
-        evals, evecs = eigh_descending(jnp.asarray(cov, jnp.float32))
-        evals_np = np.asarray(evals)
+        # host numpy eigh: the matrices are small (C ≤ ~4608) and the
+        # axon TPU backend rejects the eigh custom-call; a one-off host
+        # decomposition per task is negligible
+        evals_h, evecs_h = np.linalg.eigh(np.asarray(cov, np.float64))
+        evals_np = evals_h[::-1]
+        evecs = jnp.asarray(evecs_h[:, ::-1], jnp.float32)
         # eigh of PSD can give tiny negatives; clamp like |singular values|
         evals_np = np.maximum(evals_np, 0.0)
         if adaptive:
@@ -180,7 +184,9 @@ def plot_spectra(
     rows = len(names) // 4 + 1
     fig, axes = plt.subplots(rows, 4, figsize=(15, max(3 * rows, 3)), squeeze=False)
     for i, name in enumerate(names):
-        evals = np.maximum(np.asarray(eigh_descending(jnp.asarray(cov_dict[name]))[0]), 0.0)
+        evals = np.maximum(
+            np.linalg.eigvalsh(np.asarray(cov_dict[name], np.float64))[::-1], 0.0
+        )
         i_thres = adaptive_threshold_index(evals, offset)
         ax = axes[i // 4][i % 4]
         ax.plot(np.arange(i_thres + 1), evals[: i_thres + 1], color="blue")
