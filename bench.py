@@ -90,5 +90,11 @@ if __name__ == "__main__":
         except Exception as e:  # pragma: no cover
             if attempt == 2:
                 raise
-            print(f"# bench attempt {attempt} failed ({type(e).__name__}); retrying", flush=True)
+            import sys
+
+            print(
+                f"# bench attempt {attempt} failed ({type(e).__name__}); retrying",
+                file=sys.stderr,
+                flush=True,
+            )
             time.sleep(10)
