@@ -339,7 +339,11 @@ class NullSpaceRunner:
         bs = tl_cfg.get("batch_size", 16)
         n_dev = _math.gcd(jax.device_count(), bs)
         self.mesh = create_mesh(n_dev) if n_dev > 1 else None
-        self.train_step = make_train_step(self.model, self.optimizer, self.teacher_model)
+        clip_cfg = cfg.get("optim_wrapper", {}).get("clip_grad") or {}
+        self.train_step = make_train_step(
+            self.model, self.optimizer, self.teacher_model,
+            clip_grad_norm=clip_cfg.get("max_norm"),
+        )
         self.eval_step = make_eval_step(self.model)
         self.cov_step = make_cov_step(self.model)
         self.roi_step = make_roi_extract_step(self.model)

@@ -114,11 +114,14 @@ def make_train_step(
     optimizer: optax.GradientTransformation,
     teacher_model: Optional[FasterRCNN] = None,
     donate: bool = True,
+    clip_grad_norm: Optional[float] = None,
 ):
     """Build the jitted train step.
 
     The returned function: (state, batch, rng) → (state, metrics).
     ``batch.images`` may be uint8 (normalized in-graph).
+    ``clip_grad_norm`` mirrors mmengine OptimWrapper's ``clip_grad``
+    (global-norm clipping before the optimizer update).
     """
 
     def step_fn(state: TrainState, batch: DetBatch, rng: jax.Array):
@@ -154,6 +157,10 @@ def make_train_step(
             return total_loss(losses), losses
 
         (loss, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        if clip_grad_norm is not None:
+            gnorm = optax.global_norm(grads)
+            scale = jnp.minimum(1.0, clip_grad_norm / jnp.maximum(gnorm, 1e-12))
+            grads = jax.tree.map(lambda g: g * scale, grads)
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = jax.tree.map(lambda p, u: p + u, state.params, updates)
         new_state = state.replace(
