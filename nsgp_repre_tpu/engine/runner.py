@@ -499,10 +499,28 @@ class NullSpaceRunner:
     def val(self) -> float:
         detections, annotations = [], []
         variables = self._variables()
+        vis_budget = self.cfg.get("vis_images", 0)  # DetVisualizationHook
         for batch, img_ids in self.val_loader:
             n_real = len(img_ids)
             batch_dev = jax.tree.map(jnp.asarray, batch)
             dets = self.eval_step(variables, batch_dev)
+            if vis_budget > 0:
+                from ..visualization import DetLocalVisualizer
+
+                vis = DetLocalVisualizer(
+                    osp.join(self.work_dir, "vis_data"),
+                    class_names=getattr(self.val_dataset, "classes", None),
+                )
+                for i in range(min(n_real, vis_budget)):
+                    v = np.asarray(dets.valid[i])
+                    pred = dict(
+                        boxes=np.asarray(dets.boxes[i])[v],
+                        scores=np.asarray(dets.scores[i])[v],
+                        labels=np.asarray(dets.labels[i])[v],
+                    )
+                    img = np.asarray(batch.images[i])
+                    vis.add_datasample(str(img_ids[i]), img, pred)
+                vis_budget -= n_real
             boxes = np.asarray(dets.boxes)
             scores = np.asarray(dets.scores)
             labels = np.asarray(dets.labels)

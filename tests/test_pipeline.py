@@ -159,3 +159,11 @@ def test_two_task_pipeline(voc_root, tmp_path):
     assert len(rois2[0]) > len(rois[0])
     mAP = r2.val()
     assert np.isfinite(mAP)
+
+    # ---- resume (task 1 only): state restores from resume_state.npz ----
+    cfg1r = make_cfg(voc_root, work_root, task_id=1)
+    cfg1r["resume"] = True
+    r1b = NullSpaceRunner(cfg1r)
+    start_epoch = r1b._try_resume()
+    assert start_epoch == 1  # trained 1 epoch → resume at epoch 1
+    assert int(r1b.state.step) > 0
