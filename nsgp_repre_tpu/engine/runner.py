@@ -468,7 +468,13 @@ class NullSpaceRunner:
                         ) + "\n")
                         log_f.flush()
                 mAP = self.val()
-                logger.info(f"epoch {epoch}: mAP {mAP:.4f}")
+                try:  # MemoryProfilerHook-style RSS logging (optional psutil)
+                    import psutil
+
+                    rss = psutil.Process().memory_info().rss / 2 ** 30
+                    logger.info(f"epoch {epoch}: mAP {mAP:.4f} (host RSS {rss:.1f} GiB)")
+                except ImportError:
+                    logger.info(f"epoch {epoch}: mAP {mAP:.4f}")
                 self._save_checkpoint(f"epoch_{epoch}.npz")
                 if self.task_id == 1:
                     self._save_resume_state(epoch)
@@ -596,6 +602,13 @@ class NullSpaceRunner:
             rng, key = jax.random.split(rng)
             cov_tree = self.cov_step(variables, batch, key)
             cov = nsgp.cov_collection_to_param_names(cov_tree)
+            # the reference only hooks modules outside ignore_keys
+            # (nsrunner:731-732), so its covariance.pth holds backbone+neck
+            # only — filter at save time for the same artifact contents
+            cov = {
+                k: v for k, v in cov.items()
+                if not any(re.match(p, k) for p in self.ignore_keys)
+            }
             total = nsgp.accumulate_cov(total, cov)
         total = {k: np.asarray(v) for k, v in (total or {}).items()}
         if self.task_id != 1:
