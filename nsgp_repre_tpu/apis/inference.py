@@ -49,7 +49,14 @@ def init_detector(
     dummy = jnp.zeros((1, 64, 64, 3), jnp.float32)
     variables = model.init(jax.random.PRNGKey(0), dummy)
     params, stats = variables["params"], variables.get("batch_stats", {})
-    if checkpoint:
+    if checkpoint and checkpoint.endswith((".pth", ".pt")):
+        # a reference (mmdet torch) checkpoint — convert in place
+        from ..utils.torch_convert import load_torch_detector
+
+        params_flat, stats_flat = load_torch_detector(checkpoint)
+        params = ckpt_io.restore_into(params, params_flat, strict=False)
+        stats = ckpt_io.restore_into(stats, stats_flat, strict=False)
+    elif checkpoint:
         flat = ckpt_io.load_pytree_flat(checkpoint)
         params = ckpt_io.restore_into(
             params, {k[7:]: v for k, v in flat.items() if k.startswith("params/")},

@@ -363,7 +363,21 @@ class NullSpaceRunner:
     # ------------------------------------------------------------------
     def _load_checkpoint(self, path: str, params=None, stats=None):
         """Restore params/batch_stats from ``path`` into the given trees
-        (defaults to the live ones — never into stale/donated arrays)."""
+        (defaults to the live ones — never into stale/donated arrays).
+
+        ``.pth``/``.pt`` paths are treated as reference (mmdet torch)
+        full-detector checkpoints and converted on the fly, so configs
+        whose ``load_from`` points at a reference work-dir run unchanged.
+        """
+        if path.endswith((".pth", ".pt")):
+            from ..utils.torch_convert import load_torch_detector
+
+            params_flat, stats_flat = load_torch_detector(path)
+            params = params if params is not None else self.params
+            stats = stats if stats is not None else self.batch_stats
+            self.params = ckpt_io.restore_into(params, params_flat, strict=False)
+            self.batch_stats = ckpt_io.restore_into(stats, stats_flat, strict=False)
+            return
         flat = ckpt_io.load_pytree_flat(path)
         params_flat = {k[7:]: v for k, v in flat.items() if k.startswith("params/")}
         stats_flat = {k[12:]: v for k, v in flat.items() if k.startswith("batch_stats/")}

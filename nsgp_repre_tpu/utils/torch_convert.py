@@ -71,3 +71,89 @@ def convert_resnet50_state_dict(
 
 def load_torch_resnet50(path: str):
     return convert_resnet50_state_dict(_to_numpy_state_dict(path))
+
+
+def convert_detector_state_dict(
+    sd: Dict[str, np.ndarray],
+) -> Tuple[Dict[str, np.ndarray], Dict[str, np.ndarray]]:
+    """Convert a full mmdet Faster-R-CNN(+task-head) state dict.
+
+    Covers every module of the reference's exercised graph
+    (two_stage.py: backbone → neck → rpn_head → roi_head.bbox_head):
+
+      backbone.*                              → backbone/* (torchvision layout)
+      neck.lateral_convs.{i}.conv.*           → neck/lateral_conv{i}/*
+      neck.fpn_convs.{i}.conv.*               → neck/fpn_conv{i}/*
+      rpn_head.rpn_{conv,cls,reg}.*           → rpn_head/rpn_{conv,cls,reg}/*
+      roi_head.bbox_head.shared_fcs.{i}.*     → bbox_head/shared_fc{i+1}/*
+      roi_head.bbox_head.fc_cls.{i}.*         → bbox_head/fc_cls{i}/*  (i < T)
+      roi_head.bbox_head.fc_cls.{T}.*         → bbox_head/fc_cls_bg/*  (the
+          reference appends one extra background classifier after the T
+          per-task heads, convfc_bbox_head_task.py:94-107)
+      roi_head.bbox_head.fc_reg.{i}.*         → bbox_head/fc_reg{i}/*
+
+    Torch conv weights (O,I,H,W) become (H,W,I,O) kernels; torch linear
+    weights (out,in) become (in,out) kernels. The bbox head flattens RoI
+    features in torch (C,H,W) channel-major order on both sides
+    (models/bbox_head.py::mid_features), so shared_fcs.0 needs no input
+    permutation.
+
+    Returns ({param-path: array}, {batch-stat-path: array}) flat dicts for
+    ``utils.checkpoint.restore_into``.
+    """
+    params, stats = convert_resnet50_state_dict(sd, prefix="backbone.")
+
+    def conv(src: str, dst: str):
+        if src + ".weight" in sd:
+            params[dst + "/kernel"] = np.transpose(sd[src + ".weight"], (2, 3, 1, 0))
+            if src + ".bias" in sd:
+                params[dst + "/bias"] = sd[src + ".bias"]
+
+    def linear(src: str, dst: str):
+        if src + ".weight" in sd:
+            params[dst + "/kernel"] = np.transpose(sd[src + ".weight"], (1, 0))
+            if src + ".bias" in sd:
+                params[dst + "/bias"] = sd[src + ".bias"]
+
+    for i in range(8):  # FPN has 4 in-levels; be permissive
+        conv(f"neck.lateral_convs.{i}.conv", f"neck/lateral_conv{i}")
+        conv(f"neck.fpn_convs.{i}.conv", f"neck/fpn_conv{i}")
+
+    conv("rpn_head.rpn_conv", "rpn_head/rpn_conv")
+    conv("rpn_head.rpn_cls", "rpn_head/rpn_cls")
+    conv("rpn_head.rpn_reg", "rpn_head/rpn_reg")
+
+    for i in range(8):
+        linear(f"roi_head.bbox_head.shared_fcs.{i}", f"bbox_head/shared_fc{i + 1}")
+
+    # count per-task cls heads present; the last fc_cls entry is background
+    n_cls = 0
+    while f"roi_head.bbox_head.fc_cls.{n_cls}.weight" in sd:
+        n_cls += 1
+    for i in range(n_cls):
+        dst = "bbox_head/fc_cls_bg" if i == n_cls - 1 else f"bbox_head/fc_cls{i}"
+        linear(f"roi_head.bbox_head.fc_cls.{i}", dst)
+    i = 0
+    while f"roi_head.bbox_head.fc_reg.{i}.weight" in sd:
+        linear(f"roi_head.bbox_head.fc_reg.{i}", f"bbox_head/fc_reg{i}")
+        i += 1
+
+    # plain (non-task) mmdet Shared2FCBBoxHead: single fc_cls / fc_reg
+    if n_cls == 0 and "roi_head.bbox_head.fc_cls.weight" in sd:
+        w = sd["roi_head.bbox_head.fc_cls.weight"]
+        b = sd.get("roi_head.bbox_head.fc_cls.bias")
+        # mmdet orders [classes..., background]; split off the bg column
+        params["bbox_head/fc_cls0/kernel"] = np.transpose(w[:-1], (1, 0))
+        params["bbox_head/fc_cls_bg/kernel"] = np.transpose(w[-1:], (1, 0))
+        if b is not None:
+            params["bbox_head/fc_cls0/bias"] = b[:-1]
+            params["bbox_head/fc_cls_bg/bias"] = b[-1:]
+        linear("roi_head.bbox_head.fc_reg", "bbox_head/fc_reg0")
+
+    return params, stats
+
+
+def load_torch_detector(path: str):
+    """Load an mmdet Faster-R-CNN torch checkpoint (e.g. a reference
+    work-dir ``epoch_N.pth``) into restore_into-ready flat dicts."""
+    return convert_detector_state_dict(_to_numpy_state_dict(path))
