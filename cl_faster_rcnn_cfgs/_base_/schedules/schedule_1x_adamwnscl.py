@@ -1,0 +1,18 @@
+# 1x AdamWNSCL: halved-gamma 6-milestone decay, backbone lr x10
+# (reference cl_faster_rcnn_cfgs/_base_/schedules/schedule_1x_adamwnscl.py)
+train_cfg = dict(type="EpochBasedTrainLoop", max_epochs=12, val_interval=1)
+val_cfg = dict(type="ValLoop")
+test_cfg = dict(type="TestLoop")
+
+param_scheduler = [
+    dict(type="LinearLR", start_factor=0.001, by_epoch=False, begin=0, end=500),
+    dict(type="MultiStepLR", begin=0, end=12, by_epoch=True, milestones=[2, 4, 6, 8, 10, 11], gamma=0.5),
+]
+
+optim_wrapper = dict(
+    type="OptimWrapper",
+    optimizer=dict(type="AdamWNSCL", lr=0.0001, weight_decay=0.1, svd=True),
+    paramwise_cfg=dict(norm_decay_mult=0.0, bypass_duplicate=True, custom_keys={"backbone": dict(lr_mult=10, decay_mult=1.0)}),
+)
+
+auto_scale_lr = dict(enable=False, base_batch_size=16)

@@ -1,0 +1,17 @@
+# SGDNSCL variant (reference file keeps the 12-epoch decay)
+# (reference cl_faster_rcnn_cfgs/_base_/schedules/schedule_3e_sgdnscl.py)
+train_cfg = dict(type="EpochBasedTrainLoop", max_epochs=12, val_interval=1)
+val_cfg = dict(type="ValLoop")
+test_cfg = dict(type="TestLoop")
+
+param_scheduler = [
+    dict(type="LinearLR", start_factor=0.001, by_epoch=False, begin=0, end=500),
+    dict(type="MultiStepLR", begin=0, end=12, by_epoch=True, milestones=[8, 11], gamma=0.1),
+]
+
+optim_wrapper = dict(
+    type="OptimWrapper",
+    optimizer=dict(type="SGDNSCL", lr=0.02, momentum=0.9, weight_decay=0.0001, svd=True),
+)
+
+auto_scale_lr = dict(enable=False, base_batch_size=16)

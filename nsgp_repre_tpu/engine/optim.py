@@ -48,18 +48,56 @@ class NSCLState(NamedTuple):
     count: jnp.ndarray
 
 
+def _ones_like_mults(params):
+    return jax.tree.map(lambda _: 1.0, params)
+
+
+def paramwise_mults(params, paramwise_cfg: dict):
+    """Per-leaf (lr_mult, decay_mult) trees from an mmengine
+    ``paramwise_cfg`` (DefaultOptimWrapperConstructor semantics:
+    ``norm_decay_mult`` hits norm-layer params; ``custom_keys`` matches
+    by substring with longest-key priority, schedule_1x_adamwnscl.py:24-28).
+    """
+    norm_wd = paramwise_cfg.get("norm_decay_mult")
+    custom = paramwise_cfg.get("custom_keys", {}) or {}
+
+    def one(path, _):
+        name = path_to_name(path)
+        lr_m, wd_m = 1.0, 1.0
+        for k in sorted(custom, key=len, reverse=True):
+            if k in name:
+                lr_m = float(custom[k].get("lr_mult", 1.0))
+                wd_m = float(custom[k].get("decay_mult", 1.0))
+                break
+        # norm params: FrozenBatchNorm scale/bias live under .../bn*/
+        segs = name.split("/")
+        if norm_wd is not None and any(s.startswith("bn") or s.endswith("_bn") for s in segs):
+            wd_m = float(norm_wd)
+        return lr_m, wd_m
+
+    both = jax.tree_util.tree_map_with_path(one, params)
+    is_t = lambda x: isinstance(x, tuple)
+    lr_mults = jax.tree.map(lambda v: v[0], both, is_leaf=is_t)
+    wd_mults = jax.tree.map(lambda v: v[1], both, is_leaf=is_t)
+    return lr_mults, wd_mults
+
+
 def sgd_nscl(
     learning_rate: optax.ScalarOrSchedule,
     momentum: float = 0.9,
     weight_decay: float = 1e-4,
     dampening: float = 0.0,
     nesterov: bool = False,
+    lr_mults=None,
+    wd_mults=None,
 ) -> optax.GradientTransformation:
     """SGD+momentum with null-space projection of the final update.
 
     Matches SGD_NSCL.get_update (:387-415): L2 weight decay folded into
     the gradient, torch-style momentum buffer (first step: buf = grad),
-    ``update = -lr * buf`` then projected.
+    ``update = -lr * buf`` then projected. ``lr_mults``/``wd_mults`` are
+    optional per-leaf multiplier trees (mmengine paramwise_cfg: the torch
+    side realizes them as per-group lr/weight_decay).
     """
 
     def init_fn(params):
@@ -68,16 +106,18 @@ def sgd_nscl(
 
     def update_fn(grads, state, params):
         lr = learning_rate(state.count) if callable(learning_rate) else learning_rate
+        lm = lr_mults if lr_mults is not None else _ones_like_mults(params)
+        wm = wd_mults if wd_mults is not None else _ones_like_mults(params)
 
-        def one(g, p, buf):
-            g = g + weight_decay * p
+        def one(g, p, buf, lmul, wmul):
+            g = g + weight_decay * wmul * p
             buf_new = jnp.where(
                 state.count > 0, momentum * buf + (1.0 - dampening) * g, g
             )
             d = g + momentum * buf_new if nesterov else buf_new
-            return -lr * d, buf_new
+            return -lr * lmul * d, buf_new
 
-        flat = jax.tree.map(one, grads, params, state.momentum)
+        flat = jax.tree.map(one, grads, params, state.momentum, lm, wm)
         updates = jax.tree.map(lambda t: t[0], flat, is_leaf=lambda x: isinstance(x, tuple))
         bufs = jax.tree.map(lambda t: t[1], flat, is_leaf=lambda x: isinstance(x, tuple))
         updates = _apply_transforms(updates, state.transforms)
@@ -100,11 +140,14 @@ def adam_nscl(
     eps: float = 1e-8,
     weight_decay: float = 0.0,
     decoupled_wd: bool = False,
+    lr_mults=None,
+    wd_mults=None,
 ) -> optax.GradientTransformation:
     """Adam(/W when ``decoupled_wd``) with null-space projection.
 
     AdamNSCL folds L2 into the grad; AdamWNSCL applies decoupled decay to
-    the final update (AdamW_NSCL.py:87).
+    the final update (AdamW_NSCL.py:87). Multiplier trees as in
+    ``sgd_nscl``.
     """
 
     def init_fn(params):
@@ -119,20 +162,22 @@ def adam_nscl(
     def update_fn(grads, state, params):
         lr = learning_rate(state.count) if callable(learning_rate) else learning_rate
         t = state.count + 1
+        lm = lr_mults if lr_mults is not None else _ones_like_mults(params)
+        wm = wd_mults if wd_mults is not None else _ones_like_mults(params)
 
-        def one(g, p, mu, nu):
+        def one(g, p, mu, nu, lmul, wmul):
             if weight_decay and not decoupled_wd:
-                g = g + weight_decay * p
+                g = g + weight_decay * wmul * p
             mu_new = b1 * mu + (1 - b1) * g
             nu_new = b2 * nu + (1 - b2) * g * g
             mu_hat = mu_new / (1 - b1 ** t.astype(jnp.float32))
             nu_hat = nu_new / (1 - b2 ** t.astype(jnp.float32))
-            upd = -lr * mu_hat / (jnp.sqrt(nu_hat) + eps)
+            upd = -lr * lmul * mu_hat / (jnp.sqrt(nu_hat) + eps)
             if weight_decay and decoupled_wd:
-                upd = upd - lr * weight_decay * p
+                upd = upd - lr * lmul * weight_decay * wmul * p
             return upd, mu_new, nu_new
 
-        flat = jax.tree.map(one, grads, params, state.mu, state.nu)
+        flat = jax.tree.map(one, grads, params, state.mu, state.nu, lm, wm)
         is_t = lambda x: isinstance(x, tuple)
         updates = jax.tree.map(lambda v: v[0], flat, is_leaf=is_t)
         mu = jax.tree.map(lambda v: v[1], flat, is_leaf=is_t)

@@ -67,6 +67,36 @@ def translate_ignore_keys(keys: List[str]) -> List[str]:
     return out
 
 
+def build_optimizer(opt_cfg: dict, lr_schedule, params=None, paramwise_cfg=None):
+    """Map a reference ``optim_wrapper.optimizer`` dict onto the projected
+    optax transforms (SGD/Adam/AdamW ± NSCL share implementations — the
+    plain types are the NSCL ones with no transform installed)."""
+    lr_mults = wd_mults = None
+    if paramwise_cfg and params is not None:
+        lr_mults, wd_mults = optim.paramwise_mults(params, paramwise_cfg)
+    opt_type = opt_cfg.get("type", "SGDNSCL")
+    if opt_type in ("SGDNSCL", "SGDNSCLNA", "SGD"):
+        return optim.sgd_nscl(
+            lr_schedule,
+            momentum=opt_cfg.get("momentum", 0.9),
+            weight_decay=opt_cfg.get("weight_decay", 1e-4),
+            lr_mults=lr_mults, wd_mults=wd_mults,
+        )
+    if opt_type in ("AdamNSCL", "Adam"):
+        return optim.adam_nscl(
+            lr_schedule, weight_decay=opt_cfg.get("weight_decay", 0.0),
+            lr_mults=lr_mults, wd_mults=wd_mults,
+        )
+    if opt_type in ("AdamWNSCL", "AdamW"):
+        return optim.adam_nscl(
+            lr_schedule,
+            weight_decay=opt_cfg.get("weight_decay", 0.1),
+            decoupled_wd=True,
+            lr_mults=lr_mults, wd_mults=wd_mults,
+        )
+    raise ValueError(opt_type)
+
+
 def detector_config_from_cfg(cfg: Config) -> DetectorConfig:
     """Map a reference-shaped model config dict onto DetectorConfig."""
     model = cfg.get("model", {})
@@ -108,6 +138,14 @@ def detector_config_from_cfg(cfg: Config) -> DetectorConfig:
             model.get("backbone", {}).get("stage_blocks", (3, 4, 6, 3))
         ),
         frozen_stages=model.get("backbone", {}).get("frozen_stages", 1),
+        replay_mode=(
+            "raw"
+            if model.get("roi_head", {}).get("type") == "StandardRoIReplayHead"
+            else "prototype"
+        ),
+        # parity mode: exact top-k for pre-NMS selection (slower; flip on
+        # when validating mAP against the reference)
+        use_approx_topk=cfg.get("use_approx_topk", True),
     )
 
 
@@ -186,6 +224,10 @@ class NullSpaceRunner:
         from ..datasets.prefetch import PrefetchLoader
 
         gt_capacity = cfg.get("gt_capacity", 64)
+        # multi-host: each process loads only its slice of every global
+        # batch; the plan (order/buckets/flips) is seed-deterministic and
+        # identical across processes (datasets/loader.py)
+        n_proc, proc_id = jax.process_count(), jax.process_index()
         self.train_loader = PrefetchLoader(DetLoader(
             self.train_dataset,
             batch_size=tl_cfg.get("batch_size", 16),
@@ -194,6 +236,8 @@ class NullSpaceRunner:
             repeat=_dataset_repeat(tl_cfg.get("dataset", {})),
             seed=self.seed,
             gt_capacity=gt_capacity,
+            num_shards=n_proc,
+            shard_id=proc_id,
         ), buffer_size=tl_cfg.get("num_workers", 2))
         self.val_loader = DetLoader(
             self.val_dataset,
@@ -201,6 +245,8 @@ class NullSpaceRunner:
             scale=scale,
             training=False,
             gt_capacity=gt_capacity,
+            num_shards=n_proc,
+            shard_id=proc_id,
         )
 
         # ---- schedule / optimizer ----
@@ -231,26 +277,9 @@ class NullSpaceRunner:
             warmup_iters=warmup,
         )
         opt_type = opt_cfg.get("type", "SGDNSCL")
-        if opt_type in ("SGDNSCL", "SGDNSCLNA", "SGD"):
-            base_opt = optim.sgd_nscl(
-                self.lr_schedule,
-                momentum=opt_cfg.get("momentum", 0.9),
-                weight_decay=opt_cfg.get("weight_decay", 1e-4),
-            )
-        elif opt_type in ("AdamNSCL", "Adam"):
-            base_opt = optim.adam_nscl(
-                self.lr_schedule, weight_decay=opt_cfg.get("weight_decay", 0.0)
-            )
-        elif opt_type in ("AdamWNSCL", "AdamW"):
-            base_opt = optim.adam_nscl(
-                self.lr_schedule,
-                weight_decay=opt_cfg.get("weight_decay", 0.1),
-                decoupled_wd=True,
-            )
-        else:
-            raise ValueError(opt_type)
+        self._opt_cfg, self._opt_type = dict(opt_cfg), opt_type
+        self._paramwise_cfg = cfg.get("optim_wrapper", {}).get("paramwise_cfg") or {}
         self.adaptive = opt_type != "SGDNSCLNA"
-        self._base_opt = base_opt
 
         # ---- model init / checkpoint ----
         rng = jax.random.PRNGKey(self.seed)
@@ -270,6 +299,11 @@ class NullSpaceRunner:
         elif pretrained and osp.exists(str(pretrained)):
             self._load_backbone(pretrained)
 
+        # optimizer (built after params exist: paramwise_cfg multipliers
+        # are per-leaf trees, mmengine DefaultOptimWrapperConstructor)
+        base_opt = build_optimizer(
+            self._opt_cfg, self.lr_schedule, self.params, self._paramwise_cfg
+        )
         mask = trainable_mask(self.params, self.det_cfg)
         self.optimizer = optim.masked(base_opt, mask)
         self.opt_state = self.optimizer.init(self.params)
@@ -313,7 +347,19 @@ class NullSpaceRunner:
         ):
             arrays = ckpt_io.load_rois_etc(self.previous_dir)
             feats, cls_targets = arrays[0], arrays[1]
-            if roi_head_type == "StandardPrototypeReplayHead":
+            protos, labels = [], []
+            if roi_head_type == "StandardRoIReplayHead":
+                # raw-feature variant: keep the WHOLE stored buffer; the
+                # train step samples 64/step and distills against the
+                # teacher (standard_roi_replay_head.py:56-66)
+                self.replay_feats = jnp.asarray(
+                    feats.reshape(feats.shape[0], -1).astype(np.float32)
+                )
+                self.replay_labels = jnp.asarray(cls_targets.astype(np.int32))
+                logger.info(
+                    f"raw replay buffer: {self.replay_feats.shape[0]} stored RoI feats"
+                )
+            elif roi_head_type == "StandardPrototypeReplayHead":
                 protos, labels = replay.build_coarse_prototypes(
                     feats, cls_targets, self.task_split, self.task_id
                 )
@@ -323,7 +369,9 @@ class NullSpaceRunner:
                     feats, cls_targets, self.task_split, self.task_id,
                     max_prototype=self.max_prototype, saved_masks=saved,
                 )
-                ckpt_io.save_masks(self.work_dir, masks)
+                if self._is_main():
+                    ckpt_io.save_masks(self.work_dir, masks)
+                self._barrier("masks")
             if len(protos):
                 # map absolute class label → index in the sliced
                 # [:task_split[task_id]] ++ [bg] logit vector (labels are
@@ -337,7 +385,17 @@ class NullSpaceRunner:
         import math as _math
 
         bs = tl_cfg.get("batch_size", 16)
-        n_dev = _math.gcd(jax.device_count(), bs)
+        if jax.process_count() > 1:
+            # multi-host: the mesh must span every process's devices
+            # (make_array_from_process_local_data assembles per-process
+            # slices onto all addressable shards)
+            assert bs % jax.device_count() == 0, (
+                f"batch_size {bs} must divide over {jax.device_count()} "
+                f"global devices in multi-host mode"
+            )
+            n_dev = jax.device_count()
+        else:
+            n_dev = _math.gcd(jax.device_count(), bs)
         self.mesh = create_mesh(n_dev) if n_dev > 1 else None
         clip_cfg = cfg.get("optim_wrapper", {}).get("clip_grad") or {}
         self.train_step = make_train_step(
@@ -400,7 +458,9 @@ class NullSpaceRunner:
     def _save_checkpoint(self, name: str):
         tree = {"params": self.state.params, "batch_stats": self.state.batch_stats}
         path = osp.join(self.work_dir, name)
-        ckpt_io.save_pytree(path, tree)
+        if self._is_main():
+            ckpt_io.save_pytree(path, tree)
+        self._barrier("ckpt:" + name)
         return path
 
     def _variables(self):
@@ -412,11 +472,20 @@ class NullSpaceRunner:
     # the teacher is initialized from load_from)
     # ------------------------------------------------------------------
     def _save_resume_state(self, epoch: int):
+        st = self.state.opt_state
+        # optimizer slot buffers, whatever the state type (NSCLState has
+        # momentum; AdamNSCLState has mu/nu) — transforms are rebuilt from
+        # the covariance artifact on restart, count is a scalar
+        slots = {
+            f"opt_{f}": getattr(st, f)
+            for f in st._fields
+            if f not in ("transforms", "count")
+        }
         tree = {
             "params": self.state.params,
             "batch_stats": self.state.batch_stats,
-            "momentum": self.state.opt_state.momentum,
-            "count": self.state.opt_state.count,
+            **slots,
+            "count": st.count,
             "step": self.state.step,
             "epoch": jnp.asarray(epoch),
         }
@@ -432,10 +501,13 @@ class NullSpaceRunner:
         )
         params = pick("params/", self.state.params)
         stats = pick("batch_stats/", self.state.batch_stats)
-        momentum = pick("momentum/", self.state.opt_state.momentum)
-        opt_state = self.state.opt_state._replace(
-            momentum=momentum, count=jnp.asarray(flat["count"])
-        )
+        st = self.state.opt_state
+        slots = {
+            f: pick(f"opt_{f}/", getattr(st, f))
+            for f in st._fields
+            if f not in ("transforms", "count")
+        }
+        opt_state = st._replace(**slots, count=jnp.asarray(flat["count"]))
         self.state = self.state.replace(
             params=params, batch_stats=stats, opt_state=opt_state,
             step=jnp.asarray(flat["step"]),
@@ -510,10 +582,46 @@ class NullSpaceRunner:
         self.cal_rois()
 
     def _device_batch(self, batch: DetBatch) -> DetBatch:
+        if jax.process_count() > 1 and self.mesh is not None:
+            # each process holds its contiguous rows of the global batch;
+            # assemble per-leaf global arrays over the full mesh (the
+            # JAX-native analogue of DDP per-rank batches)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            sh = NamedSharding(self.mesh, P("data"))
+            return jax.tree.map(
+                lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)),
+                batch,
+            )
         batch = jax.tree.map(jnp.asarray, batch)
         if self.mesh is not None:
             batch = shard_batch(batch, self.mesh)
         return batch
+
+    @staticmethod
+    def _is_main() -> bool:
+        return jax.process_index() == 0
+
+    @staticmethod
+    def _barrier(tag: str):
+        """Cross-process sync so non-writer processes never read an
+        artifact before process 0 finished writing it."""
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices(tag)
+
+    def _fetch(self, x) -> np.ndarray:
+        """np.asarray that also works on multi-host global arrays (the
+        reference's all_gather_different_shape analogue,
+        nsrunner_roi_replay.py:73-105 — here shapes are static, so
+        resharding to replicated is an all-gather)."""
+        if jax.process_count() == 1 or getattr(x, "is_fully_addressable", True):
+            return np.asarray(x)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        rep = jax.jit(lambda a: a, out_shardings=NamedSharding(self.mesh, P()))(x)
+        return np.asarray(rep)
 
     # ------------------------------------------------------------------
     def val(self) -> float:
@@ -522,9 +630,20 @@ class NullSpaceRunner:
         vis_budget = self.cfg.get("vis_images", 0)  # DetVisualizationHook
         for batch, img_ids in self.val_loader:
             n_real = len(img_ids)
-            batch_dev = jax.tree.map(jnp.asarray, batch)
+            # shard the val batch over the mesh too (the loader pads the
+            # trailing batch to full size, so the leading dim always
+            # divides); single-device eval on an 8-chip mesh wastes 7/8
+            # of the fleet every epoch. In multi-process mode the batch
+            # is this process's LOCAL shard — always assemble globally.
+            if self.mesh is not None and (
+                jax.process_count() > 1
+                or batch.images.shape[0] % self.mesh.size == 0
+            ):
+                batch_dev = self._device_batch(batch)
+            else:
+                batch_dev = jax.tree.map(jnp.asarray, batch)
             dets = self.eval_step(variables, batch_dev)
-            if vis_budget > 0:
+            if vis_budget > 0 and jax.process_index() == 0:
                 from ..visualization import DetLocalVisualizer
 
                 vis = DetLocalVisualizer(
@@ -532,19 +651,19 @@ class NullSpaceRunner:
                     class_names=getattr(self.val_dataset, "classes", None),
                 )
                 for i in range(min(n_real, vis_budget)):
-                    v = np.asarray(dets.valid[i])
+                    v = self._fetch(dets.valid)[i]
                     pred = dict(
-                        boxes=np.asarray(dets.boxes[i])[v],
-                        scores=np.asarray(dets.scores[i])[v],
-                        labels=np.asarray(dets.labels[i])[v],
+                        boxes=self._fetch(dets.boxes)[i][v],
+                        scores=self._fetch(dets.scores)[i][v],
+                        labels=self._fetch(dets.labels)[i][v],
                     )
                     img = np.asarray(batch.images[i])
                     vis.add_datasample(str(img_ids[i]), img, pred)
                 vis_budget -= n_real
-            boxes = np.asarray(dets.boxes)
-            scores = np.asarray(dets.scores)
-            labels = np.asarray(dets.labels)
-            valid = np.asarray(dets.valid)
+            boxes = self._fetch(dets.boxes)
+            scores = self._fetch(dets.scores)
+            labels = self._fetch(dets.labels)
+            valid = self._fetch(dets.valid)
             for i in range(n_real):
                 per_cls = {}
                 for c in range(self.det_cfg.num_classes):
@@ -624,14 +743,22 @@ class NullSpaceRunner:
                 if not any(re.match(p, k) for p in self.ignore_keys)
             }
             total = nsgp.accumulate_cov(total, cov)
-        total = {k: np.asarray(v) for k, v in (total or {}).items()}
+        total = {k: self._fetch(v) for k, v in (total or {}).items()}
         if self.task_id != 1:
+            # accumulate onto the previous artifact (nsrunner:746-749);
+            # keys present only in the previous covariance carry forward —
+            # if ignore_keys change between tasks, old-task information
+            # must not vanish from the artifact chain
             prev = ckpt_io.load_covariance(self.previous_dir)
-            total = {k: v + prev[k] for k, v in total.items() if k in prev} | {
-                k: v for k, v in total.items() if k not in prev
-            }
-        path = ckpt_io.save_covariance(self.work_dir, total)
-        logger.info(f"covariance saved to {path}")
+            total = (
+                dict(prev)
+                | {k: v for k, v in total.items() if k not in prev}
+                | {k: v + prev[k] for k, v in total.items() if k in prev}
+            )
+        if self._is_main():
+            path = ckpt_io.save_covariance(self.work_dir, total)
+            logger.info(f"covariance saved to {path}")
+        self._barrier("covariance")
 
     def cal_rois(self, max_batches: Optional[int] = None):
         """RoI features for RePRE (nsrunner:776-868)."""
@@ -647,7 +774,7 @@ class NullSpaceRunner:
             batch = self._device_batch(batch)
             rng, key = jax.random.split(rng)
             out = self.roi_step(variables, batch, key)
-            mid, labels, cw, tgt, bw, r, valid = [np.asarray(x) for x in out]
+            mid, labels, cw, tgt, bw, r, valid = [self._fetch(x) for x in out]
             feats.append(mid[valid])
             cls_t.append(labels[valid])
             cls_w.append(cw[valid])
@@ -666,8 +793,10 @@ class NullSpaceRunner:
         if self.task_id != 1:
             prev = ckpt_io.load_rois_etc(self.previous_dir)
             arrays = [np.concatenate([p, a]) for p, a in zip(prev, arrays)]
-        path = ckpt_io.save_rois_etc(self.work_dir, arrays)
-        logger.info(f"rois_etc saved to {path} ({len(arrays[0])} features)")
+        if self._is_main():
+            path = ckpt_io.save_rois_etc(self.work_dir, arrays)
+            logger.info(f"rois_etc saved to {path} ({len(arrays[0])} features)")
+        self._barrier("rois_etc")
 
     def calculate_save_importance(self, max_batches: Optional[int] = None):
         """EWC Fisher diagonal over the train set (nsrunner:946-990)."""
@@ -688,8 +817,10 @@ class NullSpaceRunner:
         terms = ewc_lib.append_task_terms(
             dict(self.state.ewc_terms), importance, self.state.params
         )
-        path = ckpt_io.save_ewc_terms(self.work_dir, terms)
-        logger.info(f"EWC terms saved to {path}")
+        if self._is_main():
+            path = ckpt_io.save_ewc_terms(self.work_dir, terms)
+            logger.info(f"EWC terms saved to {path}")
+        self._barrier("ewc_terms")
 
 
 class TeacherRunner(NullSpaceRunner):
