@@ -1,14 +1,21 @@
 #!/usr/bin/env python
-"""Training-throughput benchmark (driver-run on real TPU hardware).
+"""Benchmark suite (driver-run on real TPU hardware).
 
-Protocol: steady-state Faster R-CNN R-50-FPN train-step images/sec on
-one chip, synthetic VOC-shaped data (608x1024 canvas — the (1000,600)
-keep-ratio landscape bucket), bfloat16 backbone compute. Baseline
-anchor: upstream mmdet Faster R-CNN trains at 0.216 s/iter @ global
-batch 16 on 8x V100 ⇒ 9.26 img/s/GPU (docs/en/model_zoo.md:330-336 in
-the reference; see BASELINE.md).
+Measures three numbers on one chip, synthetic VOC-shaped data
+(608x1024 canvas — the (1000,600) keep-ratio landscape bucket),
+bfloat16 compute:
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+1. task-1 train step (plain Faster R-CNN R-50-FPN) — the headline,
+   comparable to the reference's published 0.216 s/iter @ 2 img/GPU on
+   8x V100 ⇒ 9.26 img/s/GPU (docs/en/model_zoo.md:330-336, BASELINE.md).
+2. task-2 train step — the method's real steady-state cost: teacher
+   pseudo-labeling + RePRE prototype replay + EWC + null-space-projected
+   updates all active.
+3. inference (predict) fps at batch 1 — reference anchor 21.4 fps V100
+   (configs/faster_rcnn/README.md:22, protocol docs/en/model_zoo.md:13).
+
+Prints ONE JSON line: the headline metric plus the auxiliary numbers as
+extra keys.
 """
 from __future__ import annotations
 
@@ -17,23 +24,33 @@ import time
 
 import numpy as np
 
-BASELINE_IMG_PER_SEC_PER_CHIP = 9.26  # V100 anchor (BASELINE.md)
+BASELINE_IMG_PER_SEC_PER_CHIP = 9.26  # V100 train anchor (BASELINE.md)
+BASELINE_INFER_FPS = 21.4  # V100 inference anchor (model zoo)
 
 
-def main():
+def _sync(x):
+    """Force completion via a scalar data dependency (the axon relay's
+    block_until_ready does not reliably block)."""
+    import jax.numpy as jnp
+
+    return float(jnp.sum(x))
+
+
+def _bench_train(task_id: int):
     import jax
     import jax.numpy as jnp
 
     from __graft_entry__ import _tiny_batch
-    from nsgp_repre_tpu.engine import optim
+    from nsgp_repre_tpu.engine import ewc as ewc_lib
+    from nsgp_repre_tpu.engine import nsgp, optim
     from nsgp_repre_tpu.engine.train import TrainState, make_train_step, trainable_mask
     from nsgp_repre_tpu.models.detector import DetectorConfig, FasterRCNN
 
     B, H, W = 16, 608, 1024
     cfg = DetectorConfig(
         num_classes=20,
-        task_split=(0, 20),
-        task_id=1,
+        task_split=(0, 15, 20) if task_id == 2 else (0, 20),
+        task_id=task_id,
         compute_dtype="bfloat16",
     )
     model = FasterRCNN(config=cfg)
@@ -46,35 +63,111 @@ def main():
     optimizer = optim.masked(
         optim.sgd_nscl(0.02, momentum=0.9, weight_decay=1e-4), mask
     )
+    opt_state = optimizer.init(params)
+
+    teacher = None
+    teacher_params = replay_feats = replay_labels = None
+    ewc_terms = {}
+    if task_id == 2:
+        # full steady-state method cost: frozen teacher (task 1),
+        # realistic NSGP projections on backbone+neck, 150 prototypes,
+        # EWC terms on the BN params
+        teacher = FasterRCNN(config=DetectorConfig(**{**cfg.__dict__, "task_id": 1}))
+        teacher_params = jax.tree.map(jnp.copy, params)
+        rs = np.random.RandomState(0)
+        cov = {}
+        for name, p in [
+            ("neck/fpn_conv0/kernel", (3 * 3 * 256)),
+            ("neck/fpn_conv1/kernel", (3 * 3 * 256)),
+            ("neck/fpn_conv2/kernel", (3 * 3 * 256)),
+            ("neck/fpn_conv3/kernel", (3 * 3 * 256)),
+            ("neck/lateral_conv3/kernel", 2048),
+        ]:
+            X = rs.randn(64, p).astype(np.float32)
+            cov[name] = jnp.asarray(X.T @ X)
+        transforms = nsgp.build_transforms(cov)
+        opt_state = optim.set_transforms(opt_state, transforms)
+        imp = {k: jnp.ones_like(v) for k, v in ewc_lib.select_ewc_params(params).items()}
+        ewc_terms = ewc_lib.append_task_terms({}, imp, params)
+        replay_feats = jnp.asarray(rs.randn(150, 7 * 7 * 256).astype(np.float32))
+        replay_labels = jnp.asarray((np.arange(150) % 15).astype(np.int32))
+
     state = TrainState(
         params=params,
         batch_stats=variables.get("batch_stats", {}),
-        opt_state=optimizer.init(params),
+        opt_state=opt_state,
         step=jnp.zeros((), jnp.int32),
+        teacher_params=teacher_params,
+        replay_feats=replay_feats,
+        replay_labels=replay_labels,
+        ewc_terms=ewc_terms,
     )
-    train_step = make_train_step(model, optimizer)
+    train_step = make_train_step(model, optimizer, teacher_model=teacher)
 
-    # warmup / compile
     key = jax.random.PRNGKey(1)
-    state, _ = train_step(state, batch, key)
-    jax.block_until_ready(state.params)
+    state, m = train_step(state, batch, key)
+    _sync(m["loss"])
 
     n_iters = 20
     t0 = time.perf_counter()
     for i in range(n_iters):
         key = jax.random.fold_in(key, i)
-        state, metrics = train_step(state, batch, key)
-    jax.block_until_ready(state.params)
+        state, m = train_step(state, batch, key)
+    _sync(m["loss"])
     dt = time.perf_counter() - t0
+    return B * n_iters / dt
 
-    img_per_sec = B * n_iters / dt
+
+def _bench_infer():
+    """Predict-mode fps, batch 1 (model-zoo protocol shapes: the COCO
+    (1333,800) landscape bucket → 800x1344 canvas)."""
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _tiny_batch
+    from nsgp_repre_tpu.engine.train import make_eval_step
+    from nsgp_repre_tpu.models.detector import DetectorConfig, FasterRCNN
+
+    cfg = DetectorConfig(
+        num_classes=20,
+        task_split=(0, 20),
+        task_id=1,
+        rpn_nms_pre=1000,
+        rpn_max_per_img=1000,
+        max_per_img=100,
+        compute_dtype="bfloat16",
+    )
+    model = FasterRCNN(config=cfg)
+    batch = _tiny_batch(1, 800, 1344, capacity=8)
+    variables = model.init(jax.random.PRNGKey(0), batch.images.astype(jnp.float32))
+    step = make_eval_step(model)
+    dets = step(variables, batch)
+    _sync(dets.scores)
+
+    n_iters = 50
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        dets = step(variables, batch)
+    _sync(dets.scores)
+    dt = time.perf_counter() - t0
+    return n_iters / dt
+
+
+def main():
+    t1 = _bench_train(task_id=1)
+    t2 = _bench_train(task_id=2)
+    fps = _bench_infer()
     print(
         json.dumps(
             {
                 "metric": "faster_rcnn_r50_fpn_train_throughput",
-                "value": round(img_per_sec, 2),
+                "value": round(t1, 2),
                 "unit": "img/s/chip",
-                "vs_baseline": round(img_per_sec / BASELINE_IMG_PER_SEC_PER_CHIP, 3),
+                "vs_baseline": round(t1 / BASELINE_IMG_PER_SEC_PER_CHIP, 3),
+                "task2_train_img_per_sec": round(t2, 2),
+                "task2_vs_baseline": round(t2 / BASELINE_IMG_PER_SEC_PER_CHIP, 3),
+                "infer_fps_b1": round(fps, 2),
+                "infer_vs_baseline": round(fps / BASELINE_INFER_FPS, 3),
             }
         )
     )

@@ -93,9 +93,25 @@ class DetLoader:
         repeat: int = 1,
         seed: int = 0,
         drop_last: Optional[bool] = None,
+        num_shards: int = 1,
+        shard_id: int = 0,
     ):
+        """``num_shards``/``shard_id`` enable multi-host SPMD loading:
+        ``batch_size`` stays the GLOBAL batch; every process runs the SAME
+        deterministic batch plan (records, buckets, flip decisions — all
+        derived from metadata and the shared seed), but only decodes and
+        yields its own contiguous ``batch_size/num_shards`` slice of each
+        batch. The returned ``img_ids`` stay global so evaluation and
+        artifact bookkeeping see the full batch. Mirrors mmengine
+        DefaultSampler rank-sharding (+ the reference's per-rank loaders,
+        nsrunner_roi_replay.py:73-105) without per-rank data divergence.
+        """
+        assert batch_size % max(num_shards, 1) == 0, (batch_size, num_shards)
         self.dataset = dataset
         self.batch_size = batch_size
+        self.num_shards = max(num_shards, 1)
+        self.shard_id = shard_id
+        self.local_batch = batch_size // self.num_shards
         self.training = training
         self.gt_capacity = gt_capacity
         self.flip_prob = flip_prob if training else 0.0
@@ -123,9 +139,10 @@ class DetLoader:
     def _bucket_of(self, rec) -> str:
         return "landscape" if rec["width"] >= rec["height"] else "portrait"
 
-    def _make_batch(self, recs: List[dict], rng: np.random.RandomState, bucket: str) -> DetBatch:
+    def _make_batch(self, items: List[tuple], bucket: str) -> DetBatch:
+        """items: [(rec, flip)] — this process's slice of the batch plan."""
         bh, bw = self.canvas[bucket]
-        B = self.batch_size
+        B = self.local_batch
         images = np.zeros((B, bh, bw, 3), np.uint8)
         img_shape = np.zeros((B, 2), np.int32)
         ori_shape = np.zeros((B, 2), np.int32)
@@ -134,11 +151,11 @@ class DetLoader:
         labels = np.full((B, self.gt_capacity), -1, np.int32)
         valid = np.zeros((B, self.gt_capacity), bool)
 
-        for i, rec in enumerate(recs):
+        for i, (rec, flip) in enumerate(items):
             img = load_image(rec["img_path"])
             b = rec["boxes"].copy()
             img, b, (ws, hs) = resize_keep_ratio(img, b, self.scale)
-            if self.training and rng.rand() < self.flip_prob:
+            if flip:
                 img, b = flip_horizontal(img, b)
             h, w = img.shape[:2]
             images[i, :h, :w] = img
@@ -156,7 +173,16 @@ class DetLoader:
             ori_shape=ori_shape,
             scale_factor=scale_factor,
             gt=InstanceArray(boxes=boxes, labels=labels, valid=valid),
-        ), [r["img_id"] for r in recs]
+        )
+
+    def _emit(self, items: List[tuple], bucket: str):
+        """Slice this process's contiguous rows out of the global plan;
+        ids stay global (the i-th row of the assembled global batch is
+        the i-th planned record)."""
+        ids = [rec["img_id"] for rec, _ in items]
+        lo = self.shard_id * self.local_batch
+        local = items[lo : lo + self.local_batch]
+        return self._make_batch(local, bucket), ids
 
     def __iter__(self) -> Iterator:
         rng = np.random.RandomState(self.seed + self.epoch)
@@ -166,15 +192,19 @@ class DetLoader:
         if self.training:
             rng.shuffle(order)
 
+        # the plan (record order, buckets, flips) uses metadata only and a
+        # shared seed — identical on every process; image decode happens
+        # later, only for the local slice
         buckets: dict = {"landscape": [], "portrait": []}
         for idx in order:
             rec = self.dataset[int(idx)]
+            flip = bool(self.training and rng.rand() < self.flip_prob)
             b = self._bucket_of(rec)
-            buckets[b].append(rec)
+            buckets[b].append((rec, flip))
             if len(buckets[b]) == self.batch_size:
-                yield self._make_batch(buckets[b], rng, b)
+                yield self._emit(buckets[b], b)
                 buckets[b] = []
         if not self.drop_last:
-            for b, recs in buckets.items():
-                if recs:
-                    yield self._make_batch(recs, rng, b)
+            for b, items in buckets.items():
+                if items:
+                    yield self._emit(items, b)

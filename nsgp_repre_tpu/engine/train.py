@@ -109,6 +109,21 @@ def total_loss(losses: Dict[str, jnp.ndarray]) -> jnp.ndarray:
     return sum(v for k, v in losses.items() if "loss" in k)
 
 
+def _raw_replay_inputs(teacher_model, state: "TrainState", rng: jax.Array,
+                       sample_size: int = 64):
+    """Raw-feature replay (StandardRoIReplayHead.loss,
+    standard_roi_replay_head.py:56-66): randomly sample 64 stored RoI
+    features per step and compute the frozen teacher's cls logits on
+    them. Returns (feats, teacher_cls) for the student's MSE loss."""
+    n = state.replay_feats.shape[0]
+    k = min(sample_size, n)
+    sel = jax.random.choice(rng, n, (k,), replace=False)
+    feats = jnp.take(state.replay_feats, sel, axis=0)
+    teacher_vars = {"params": state.teacher_params, "batch_stats": state.batch_stats}
+    t_cls, _ = teacher_model.apply(teacher_vars, feats, method=teacher_model.bbox_forward)
+    return feats, jax.lax.stop_gradient(t_cls)
+
+
 def make_train_step(
     model: FasterRCNN,
     optimizer: optax.GradientTransformation,
@@ -144,14 +159,31 @@ def make_train_step(
                 iou_skip=model.config.pseudo_iou_skip,
             )
 
+        raw_mode = (
+            model.config.replay_mode == "raw"
+            and state.replay_feats is not None
+            and state.teacher_params is not None
+            and teacher_model is not None
+        )
+        raw_feats = raw_teacher_cls = None
+        if raw_mode:
+            rng, r_sel = jax.random.split(rng)
+            raw_feats, raw_teacher_cls = _raw_replay_inputs(teacher_model, state, r_sel)
+
         def loss_fn(params):
             variables = {"params": params, "batch_stats": state.batch_stats}
             losses = model.apply(
                 variables, batch, rng,
                 rpn_gt, roi_gt,
-                state.replay_feats, state.replay_labels,
+                None if raw_mode else state.replay_feats,
+                None if raw_mode else state.replay_labels,
                 method=model.loss,
             )
+            if raw_mode:
+                losses["replay_loss_cls"] = model.apply(
+                    variables, raw_feats, raw_teacher_cls,
+                    method=model.raw_replay_loss,
+                )
             if state.ewc_terms:
                 losses["ewc_loss"] = ewc_loss(params, state.ewc_terms)
             return total_loss(losses), losses
@@ -241,13 +273,31 @@ def make_importance_step(model: FasterRCNN, teacher_model: Optional[FasterRCNN] 
                 iou_skip=model.config.pseudo_iou_skip,
             )
 
+        raw_mode = (
+            model.config.replay_mode == "raw"
+            and state.replay_feats is not None
+            and state.teacher_params is not None
+            and teacher_model is not None
+        )
+        raw_feats = raw_teacher_cls = None
+        if raw_mode:
+            rng, r_sel = jax.random.split(rng)
+            raw_feats, raw_teacher_cls = _raw_replay_inputs(teacher_model, state, r_sel)
+
         def loss_fn(p):
+            variables = {"params": p, "batch_stats": state.batch_stats}
             losses = model.apply(
-                {"params": p, "batch_stats": state.batch_stats}, batch, rng,
+                variables, batch, rng,
                 rpn_gt, roi_gt,
-                state.replay_feats, state.replay_labels,
+                None if raw_mode else state.replay_feats,
+                None if raw_mode else state.replay_labels,
                 method=model.loss,
             )
+            if raw_mode:
+                losses["replay_loss_cls"] = model.apply(
+                    variables, raw_feats, raw_teacher_cls,
+                    method=model.raw_replay_loss,
+                )
             if state.ewc_terms:
                 losses["ewc_loss"] = ewc_loss(p, state.ewc_terms)
             return total_loss(losses)

@@ -101,6 +101,12 @@ class DetectorConfig:
     # TPU-fast approximate top-k for proposal pre-NMS selection and
     # random-sampling priorities (ops/topk.py); disable for exact parity
     use_approx_topk: bool = True
+    # RePRE replay variant: 'prototype' (Multi/StandardPrototypeReplayHead
+    # CE) or 'raw' (StandardRoIReplayHead teacher-MSE on stored features)
+    replay_mode: str = "prototype"
+    # per-image pad divisor for anchor valid-flags (mmdet Pad transform,
+    # pad_size_divisor=32 in the detector data_preprocessor config)
+    pad_size_divisor: int = 32
 
     @property
     def num_base_priors(self) -> int:
@@ -173,14 +179,23 @@ class FasterRCNN(nn.Module):
         """Per-anchor inside-image flags from the *per-image* padded shape.
 
         mmdet valid_flags (anchor_head.py:164 via get_anchors) marks
-        anchors whose grid cell lies inside ceil(pad_shape/stride).
+        anchors whose grid cell lies inside ceil(pad_shape/stride), where
+        pad_shape is the per-image resized shape padded up to the
+        pad_size_divisor=32 canvas (Pad transform). With the rpn train
+        cfg's allowed_border=-1 no further inside-image filtering happens
+        (anchor_head.py:201), so rounding up to the divisor here
+        reproduces the reference's negative-anchor distribution on padded
+        canvases.
         """
+        div = float(self.config.pad_size_divisor)
+        pad_h = jnp.ceil(img_shape[0] / div) * div
+        pad_w = jnp.ceil(img_shape[1] / div) * div
         flags = []
         for (fh, fw), stride in zip(sizes, self.config.anchor_strides):
             gy = jnp.arange(fh)[:, None]
             gx = jnp.arange(fw)[None, :]
-            vh = jnp.ceil(img_shape[0] / stride)
-            vw = jnp.ceil(img_shape[1] / stride)
+            vh = jnp.ceil(pad_h / stride)
+            vw = jnp.ceil(pad_w / stride)
             f = (gy < vh) & (gx < vw)  # (fh, fw)
             f = jnp.repeat(f.reshape(-1), self.config.num_base_priors)
             flags.append(f)
@@ -372,6 +387,32 @@ class FasterRCNN(nn.Module):
         if replay_feats is not None:
             losses["replay_loss_cls"] = self.replay_loss(replay_feats, replay_labels)
         return losses
+
+    def bbox_forward(self, roi_feats: jnp.ndarray):
+        """bbox-head forward on stored flattened RoI features (R, 12544)
+        — used by the raw-feature replay head for teacher logits."""
+        cls, reg = self.bbox_head(roi_feats.astype(self._dtype))
+        return cls.astype(jnp.float32), reg.astype(jnp.float32)
+
+    def raw_replay_loss(self, replay_feats: jnp.ndarray, teacher_cls: jnp.ndarray):
+        """StandardRoIReplayHead raw-feature replay: MSE distillation of
+        the student's cls logits against the frozen teacher's on stored
+        RoI features (standard_roi_replay_head.py:73-104,
+        ``F.mse_loss(cls_score, teacher_cls_score)``).
+
+        The reference computes the MSE over the FULL logit vector where
+        future-task entries are filled with -inf in both heads — in IEEE
+        math that is nan/inf (-inf minus -inf); torch only avoids it when
+        no head is masked. We restrict the MSE to the mutually-active
+        columns — the teacher's task range plus background — which is the
+        numerically meaningful content of that loss (the teacher has
+        task_id-1, nsrunner_roi_replay.py:532).
+        """
+        cls, _ = self.bbox_forward(replay_feats)
+        pre = self.config.task_split[max(self.config.task_id - 1, 1)]
+        s = jnp.concatenate([cls[:, :pre], cls[:, -1:]], axis=-1)
+        t = jnp.concatenate([teacher_cls[:, :pre], teacher_cls[:, -1:]], axis=-1)
+        return jnp.mean(jnp.square(s - t))
 
     def replay_loss(self, replay_feats: jnp.ndarray, replay_labels: jnp.ndarray):
         """RePRE prototype replay CE.
