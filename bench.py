@@ -72,7 +72,8 @@ def _bench_train(task_id: int):
         # full steady-state method cost: frozen teacher (task 1),
         # realistic NSGP projections on backbone+neck, 150 prototypes,
         # EWC terms on the BN params
-        teacher = FasterRCNN(config=DetectorConfig(**{**cfg.__dict__, "task_id": 1}))
+        teacher = FasterRCNN(config=DetectorConfig(**{**cfg.__dict__, "task_id": 1,
+        "roi_sampling_ratio": 1 if cfg.teacher_fast else cfg.roi_sampling_ratio}))
         teacher_params = jax.tree.map(jnp.copy, params)
         rs = np.random.RandomState(0)
         cov = {}

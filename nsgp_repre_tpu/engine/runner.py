@@ -146,6 +146,7 @@ def detector_config_from_cfg(cfg: Config) -> DetectorConfig:
         # parity mode: exact top-k for pre-NMS selection (slower; flip on
         # when validating mAP against the reference)
         use_approx_topk=cfg.get("use_approx_topk", True),
+        teacher_fast=cfg.get("teacher_fast", cfg.get("use_approx_topk", True)),
     )
 
 
@@ -209,7 +210,17 @@ class NullSpaceRunner:
         self.model = FasterRCNN(config=self.det_cfg)
         self.teacher_model = (
             FasterRCNN(
-                config=dataclass_replace(self.det_cfg, task_id=self.task_id - 1)
+                config=dataclass_replace(
+                    self.det_cfg,
+                    task_id=self.task_id - 1,
+                    # teacher fast path: 1x1 RoIAlign sample grid (see
+                    # DetectorConfig.teacher_fast) — the gather dominates
+                    # teacher predict (124.7 of 189 ms at batch 16)
+                    roi_sampling_ratio=(
+                        1 if self.det_cfg.teacher_fast
+                        else self.det_cfg.roi_sampling_ratio
+                    ),
+                )
             )
             if self.use_teacher
             else None

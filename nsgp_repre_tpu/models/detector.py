@@ -101,6 +101,20 @@ class DetectorConfig:
     # TPU-fast approximate top-k for proposal pre-NMS selection and
     # random-sampling priorities (ops/topk.py); disable for exact parity
     use_approx_topk: bool = True
+    # teacher fast path: the frozen teacher's RoIAlign uses a 1x1 sample
+    # grid per bin instead of 2x2 (4x less gather traffic — the gather is
+    # HBM-bound and dominates teacher predict). The reference runs
+    # sampling_ratio=0 (adaptive ceil(bin)) so BOTH 1 and 2 are fixed-grid
+    # approximations of it; pseudo-labels are score-thresholded at
+    # 0.5/0.7, far from the margin this perturbs. Disable for exact
+    # teacher/student numerics parity.
+    teacher_fast: bool = True
+    # RoIAlign implementation: 'window' = Pallas windowed-DMA +
+    # separable-matmul kernel (ops/roi_align_pallas.py; extreme-aspect
+    # rois route one level coarser so their window fits); 'gather' =
+    # packed XLA gather (ops/roi_align.py, reference-exact routing).
+    # CPU backends always use 'gather'.
+    roi_align_mode: str = "gather"
     # RePRE replay variant: 'prototype' (Multi/StandardPrototypeReplayHead
     # CE) or 'raw' (StandardRoIReplayHead teacher-MSE on stored features)
     replay_mode: str = "prototype"
@@ -466,11 +480,18 @@ class FasterRCNN(nn.Module):
     # predict (faster_rcnn_roi_replay.py:239 + bbox_head.py:427)
     # ------------------------------------------------------------------
     def predict(self, batch: DetBatch, rescale: bool = True) -> InstanceArray:
-        cfg = self.config
         feats = self.extract_feat(batch.images)
         _, proposals = self.rpn_loss_and_proposals(
             feats, batch.gt, batch.img_shape, jax.random.PRNGKey(0), with_loss=False
         )
+        return self._predict_from_proposals(feats, proposals, batch, rescale)
+
+    def _predict_from_proposals(
+        self, feats, proposals: InstanceArray, batch: DetBatch, rescale: bool = True
+    ) -> InstanceArray:
+        """RoI-stage predict on given proposals (StandardRoIHead.predict,
+        standard_roi_head.py:294 + bbox_head.py:427)."""
+        cfg = self.config
         B, R = proposals.boxes.shape[:2]
         rois = proposals.boxes.reshape(-1, 4)
         batch_idx = jnp.broadcast_to(

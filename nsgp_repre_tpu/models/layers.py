@@ -71,6 +71,7 @@ class CovConv(nn.Module):
     )
     bias_init: nn.initializers.Initializer = nn.initializers.zeros_init()
     dtype: Optional[jnp.dtype] = None
+    dilation: Tuple[int, int] = (1, 1)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -92,6 +93,7 @@ class CovConv(nn.Module):
             kernel.astype(dtype),
             window_strides=self.strides,
             padding=[(self.padding[0], self.padding[0]), (self.padding[1], self.padding[1])],
+            rhs_dilation=self.dilation,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
         if self.use_bias:

@@ -1,11 +1,17 @@
-"""ResNet-50 backbone, torch-style ('pytorch' block layout), NHWC.
+"""ResNet backbone family, NHWC.
 
-Parity target: mmdet/models/backbones/resnet.py:306 with the NSGP-RePRE
-config (cl_faster_rcnn_cfgs/_base_/models/faster-rcnn_r50_fpn.py):
-``depth=50, num_stages=4, out_indices=(0,1,2,3), frozen_stages=1,
-norm_eval=True, style='pytorch'``.
+Parity target: mmdet/models/backbones/resnet.py:306. Configurations on
+the reference's config surface:
+- Faster/Mask/Cascade/Retina R-50-FPN (faster-rcnn_r50_fpn.py):
+  ``depth=50, num_stages=4, out_indices=(0,1,2,3), frozen_stages=1,
+  norm_eval=True, style='pytorch'``.
+- C4 (faster-rcnn_r50-caffe-c4.py): ``num_stages=3, strides=(1,2,2),
+  out_indices=(2,), style='caffe'`` — caffe style puts the stride-2 in
+  each stage's first 1x1 conv.
+- DC5 (faster-rcnn_r50-caffe-dc5.py): ``num_stages=4,
+  strides=(1,2,2,1), dilations=(1,1,1,2), out_indices=(3,)`` — dilated
+  stage 5, output stride 16.
 
-- 'pytorch' style puts the stride-2 in each stage's first 3x3 conv.
 - ``norm_eval``: all BNs run with frozen statistics (FrozenBatchNorm).
 - ``frozen_stages=1`` (stem + stage 1 not trained) is enforced by the
   optimizer's trainable mask (engine/optim.py), not by stop_gradient,
@@ -13,7 +19,7 @@ norm_eval=True, style='pytorch'``.
 """
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -23,21 +29,30 @@ from .layers import CovConv, FrozenBatchNorm
 
 
 class Bottleneck(nn.Module):
-    """1x1 → 3x3(stride) → 1x1 with identity/projection shortcut."""
+    """1x1 → 3x3 → 1x1 with identity/projection shortcut.
+
+    'pytorch' style strides the 3x3; 'caffe' style strides the first
+    1x1 (resnet.py ``conv1_stride``/``conv2_stride`` selection).
+    """
 
     mid_channels: int
     out_channels: int
     stride: int = 1
+    dilation: int = 1
+    style: str = "pytorch"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         identity = x
-        y = CovConv(self.mid_channels, (1, 1), (1, 1), (0, 0), use_bias=False, name="conv1")(x)
+        s1 = self.stride if self.style == "caffe" else 1
+        s2 = 1 if self.style == "caffe" else self.stride
+        y = CovConv(self.mid_channels, (1, 1), (s1, s1), (0, 0), use_bias=False, name="conv1")(x)
         y = FrozenBatchNorm(name="bn1")(y)
         y = nn.relu(y)
+        d = self.dilation
         y = CovConv(
-            self.mid_channels, (3, 3), (self.stride, self.stride), (1, 1),
-            use_bias=False, name="conv2",
+            self.mid_channels, (3, 3), (s2, s2), (d, d),
+            dilation=(d, d), use_bias=False, name="conv2",
         )(y)
         y = FrozenBatchNorm(name="bn2")(y)
         y = nn.relu(y)
@@ -52,8 +67,37 @@ class Bottleneck(nn.Module):
         return nn.relu(y + identity)
 
 
+class ResLayer(nn.Module):
+    """One ResNet stage as a standalone module — the C4 RoI head's
+    res5 shared head (mmdet/models/roi_heads/shared_heads/res_layer.py):
+    applied to (R, 14, 14, 1024) RoI features, outputs (R, 7, 7, 2048).
+    """
+
+    stage: int = 3  # 0-based: stage 3 == layer4/res5
+    num_blocks: int = 3
+    base_channels: int = 64
+    stride: int = 2
+    dilation: int = 1
+    style: str = "caffe"
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        mid = self.base_channels * (2 ** self.stage)
+        out_ch = mid * 4
+        for block in range(self.num_blocks):
+            x = Bottleneck(
+                mid_channels=mid,
+                out_channels=out_ch,
+                stride=self.stride if block == 0 else 1,
+                dilation=self.dilation,
+                style=self.style,
+                name=f"layer{self.stage + 1}_{block}",
+            )(x)
+        return x
+
+
 class ResNet50(nn.Module):
-    """Returns the four stage outputs (C2..C5), strides 4/8/16/32.
+    """Returns the stage outputs selected by ``out_indices``.
 
     ``frozen_stages=1`` (config default) freezes the stem + stage 1 like
     mmdet: besides the optimizer's trainable mask, a stop_gradient after
@@ -65,6 +109,10 @@ class ResNet50(nn.Module):
     stage_blocks: Sequence[int] = (3, 4, 6, 3)
     base_channels: int = 64
     frozen_stages: int = 1
+    style: str = "pytorch"
+    strides: Optional[Sequence[int]] = None  # default (1, 2, 2, 2)
+    dilations: Optional[Sequence[int]] = None  # default all-1
+    out_indices: Optional[Sequence[int]] = None  # default: all stages
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, ...]:
@@ -74,19 +122,27 @@ class ResNet50(nn.Module):
         # torch MaxPool2d(kernel=3, stride=2, padding=1)
         y = nn.max_pool(y, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
 
+        n = len(self.stage_blocks)
+        strides = list(self.strides) if self.strides else [1] + [2] * (n - 1)
+        dilations = list(self.dilations) if self.dilations else [1] * n
+        out_indices = (
+            tuple(self.out_indices) if self.out_indices is not None else tuple(range(n))
+        )
         outs = []
         for stage, num_blocks in enumerate(self.stage_blocks):
             mid = self.base_channels * (2 ** stage)
             out_ch = mid * 4
             for block in range(num_blocks):
-                stride = 2 if (block == 0 and stage > 0) else 1
                 y = Bottleneck(
                     mid_channels=mid,
                     out_channels=out_ch,
-                    stride=stride,
+                    stride=strides[stage] if block == 0 else 1,
+                    dilation=dilations[stage],
+                    style=self.style,
                     name=f"layer{stage + 1}_{block}",
                 )(y)
             if stage + 1 == self.frozen_stages:
                 y = jax.lax.stop_gradient(y)
-            outs.append(y)
+            if stage in out_indices:
+                outs.append(y)
         return tuple(outs)

@@ -1,0 +1,297 @@
+"""Pallas TPU RoIAlign: windowed DMA + separable-matmul bilinear.
+
+The XLA path (ops/roi_align.py) gathers one packed row per bilinear
+sample — measured ~51 GB/s effective (gather is iteration/BW-bound), and
+it dominates both the teacher predict (124.7 of 189 ms at batch 16,
+tools/analysis_tools/profile_teacher.py) and the student RoI stage.
+
+This kernel instead DMAs, per RoI, one (WIN, WIN, C) feature window from
+its routed FPN level (HBM → VMEM at near-full bandwidth, double
+buffered) and evaluates the bilinear pooling as two small MXU matmuls —
+bilinear interpolation is separable:
+
+    out[by, bx, c] = sum_y Wy[by, y] * sum_x Wx[bx, x] * F[y, x, c]
+
+where ``Wy``/``Wx`` are per-RoI (7, WIN) matrices that fold together the
+bilinear corner weights, the mmcv outside-the-map zeroing, and the
+sample-grid averaging (mean over the ss x ss samples of each bin). They
+are precomputed outside the kernel with plain jnp (vectorized, cheap).
+
+Window-fit guarantee: a RoI routed to level l spans at most
+``0.93 * side / stride_l + 3`` window pixels per axis. RoIs whose span
+exceeds WIN are bumped to a coarser level until they fit (only boxes
+with aspect ratio beyond ~3 at an unlucky routing boundary bump; at
+level 3 any canvas up to 1536 px fits WIN=48 outright). The bump is the
+one numerics deviation vs ops/roi_align.py — use ``roi_align_mode =
+'gather'`` (DetectorConfig) for bit-exact parity with the reference
+routing.
+
+Gradients: the op is linear in ``features`` with roi-derived constant
+weights, so the backward pass is the linear transpose of the XLA
+reference implementation (a scatter-add) — no Pallas backward needed.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+WIN = 48  # window side (multiple of 16 for bf16 sublane tiling)
+
+
+# ----------------------------------------------------------------------
+# host/XLA-side precompute
+# ----------------------------------------------------------------------
+def _axis_weights(lo, span, origin, out_size, ss, limit):
+    """Per-axis separable weight matrix rows.
+
+    Args:
+        lo: (R,) roi start in level coords (x1 or y1).
+        span: (R,) roi extent in level coords.
+        origin: (R,) int window origin.
+        out_size: bins per axis (7); ss: samples per bin per axis.
+        limit: (R,) valid extent of the level map along this axis.
+
+    Returns:
+        (R, out_size, WIN) float32 — averaged bilinear weights.
+    """
+    R = lo.shape[0]
+    n = out_size * ss
+    # sample positions within the roi, in bin units (ops/roi_align.py)
+    g = (np.arange(n, dtype=np.float32) // ss) + ((np.arange(n) % ss) + 0.5) / ss
+    bin_sz = span / out_size  # (R,)
+    pos = lo[:, None] + g[None, :] * bin_sz[:, None]  # (R, n)
+
+    lim = limit[:, None].astype(jnp.float32)
+    outside = (pos < -1.0) | (pos > lim)
+    p = jnp.clip(pos, 0.0, lim - 1.0)
+    p0 = jnp.floor(p)
+    p1 = jnp.minimum(p0 + 1.0, lim - 1.0)
+    lw = p - p0
+    w0 = jnp.where(outside, 0.0, 1.0 - lw) / ss
+    w1 = jnp.where(outside, 0.0, lw) / ss
+    i0 = p0.astype(jnp.int32) - origin[:, None]  # window-relative
+    i1 = p1.astype(jnp.int32) - origin[:, None]
+
+    cols = jnp.arange(WIN, dtype=jnp.int32)
+    m = (
+        w0[..., None] * (i0[..., None] == cols)
+        + w1[..., None] * (i1[..., None] == cols)
+    )  # (R, n, WIN)
+    return m.reshape(R, out_size, ss, WIN).sum(axis=2)
+
+
+def _route_and_weights(
+    rois: jnp.ndarray,
+    batch_idx: jnp.ndarray,
+    level_hw: Sequence[Tuple[int, int]],
+    strides: Sequence[int],
+    out_size: int,
+    ss: int,
+    finest_scale: float,
+    aligned: bool = True,
+):
+    """Level routing (+ window-fit bump), window origins, weight mats."""
+    L = len(strides)
+    area = (rois[:, 2] - rois[:, 0]) * (rois[:, 3] - rois[:, 1])
+    scale = jnp.sqrt(jnp.maximum(area, 0.0))
+    lvl = jnp.floor(jnp.log2(scale / finest_scale + 1e-6))
+    lvl = jnp.clip(lvl, 0, L - 1).astype(jnp.int32)
+
+    stride_tab = jnp.asarray([float(s) for s in strides])
+    h_tab = jnp.asarray([float(h) for h, _ in level_hw])
+    w_tab = jnp.asarray([float(w) for _, w in level_hw])
+
+    # bump to a coarser level until the sample span fits the window:
+    # samples cover (out - 1/ss)/out of the roi extent per axis, plus the
+    # bilinear +1 neighbor and the -1 origin margin. A level whose map
+    # already fits inside the window always works (indices are clamped
+    # into the map, mmcv outside-zeroing applies).
+    w_img = rois[:, 2] - rois[:, 0]
+    h_img = rois[:, 3] - rois[:, 1]
+    frac = (out_size - 1.0 / ss) / out_size
+    for l in range(L):
+        s = float(strides[l])
+        h_l, w_l = level_hw[l]
+        fits = (
+            (jnp.maximum(w_img, h_img) / s * frac + 3.0 <= WIN)
+            | ((h_l <= WIN) & (w_l <= WIN))
+        )
+        lvl = jnp.where((lvl == l) & ~fits, l + 1, lvl)
+    lvl = jnp.clip(lvl, 0, L - 1)
+
+    stride = stride_tab[lvl]
+    offset = 0.5 if aligned else 0.0
+    x1 = rois[:, 0] / stride - offset
+    y1 = rois[:, 1] / stride - offset
+    span_x = w_img / stride
+    span_y = h_img / stride
+
+    h_lim = h_tab[lvl]
+    w_lim = w_tab[lvl]
+    # window origin: cover [floor(first sample) - 1, ...]; clamp into the
+    # PADDED map (padded to >= WIN per axis)
+    ss_off = 0.5 / ss
+    oy = jnp.floor(y1 + ss_off * span_y / out_size) - 1
+    ox = jnp.floor(x1 + ss_off * span_x / out_size) - 1
+    pad_h = jnp.maximum(h_lim, float(WIN))
+    pad_w = jnp.maximum(w_lim, float(WIN))
+    oy = jnp.clip(oy, 0, pad_h - WIN).astype(jnp.int32)
+    ox = jnp.clip(ox, 0, pad_w - WIN).astype(jnp.int32)
+
+    wy = _axis_weights(y1, span_y, oy, out_size, ss, h_lim)
+    wx = _axis_weights(x1, span_x, ox, out_size, ss, w_lim)
+    return lvl, oy, ox, wy, wx
+
+
+# ----------------------------------------------------------------------
+# kernel
+# ----------------------------------------------------------------------
+def _roi_kernel(
+    lvl_ref, b_ref, oy_ref, ox_ref,  # scalar prefetch (R,)
+    wy_ref, wx_ref, *rest, T: int, L: int, C: int, out_size: int
+):
+    level_refs = rest[:L]
+    out_ref = rest[L]
+    win = rest[L + 1]
+    sems = rest[L + 2]
+    prog = pl.program_id(0)
+
+    def start_dma(i, slot):
+        r = prog * T + i
+        for l in range(L):
+            @pl.when(lvl_ref[r] == l)
+            def _():
+                pltpu.make_async_copy(
+                    level_refs[l].at[
+                        b_ref[r],
+                        pl.ds(oy_ref[r], WIN),
+                        pl.ds(ox_ref[r], WIN),
+                        :,
+                    ],
+                    win.at[slot],
+                    sems.at[slot],
+                ).start()
+
+    def wait_dma(i, slot):
+        r = prog * T + i
+        for l in range(L):
+            @pl.when(lvl_ref[r] == l)
+            def _():
+                pltpu.make_async_copy(
+                    level_refs[l].at[
+                        b_ref[r],
+                        pl.ds(oy_ref[r], WIN),
+                        pl.ds(ox_ref[r], WIN),
+                        :,
+                    ],
+                    win.at[slot],
+                    sems.at[slot],
+                ).wait()
+
+    start_dma(0, 0)
+    for i in range(T):
+        slot = i % 2
+        if i + 1 < T:
+            start_dma(i + 1, (i + 1) % 2)
+        wait_dma(i, slot)
+        f = win[slot].reshape(WIN, WIN * C)  # (y, x*C)
+        t1 = jnp.dot(
+            wy_ref[i], f, preferred_element_type=jnp.float32
+        )  # (out, WIN*C)
+        t1 = t1.reshape(out_size, WIN, C).astype(wy_ref.dtype)
+        for sy in range(out_size):
+            out_ref[i, sy] = jnp.dot(
+                wx_ref[i], t1[sy], preferred_element_type=jnp.float32
+            ).astype(out_ref.dtype)
+
+
+def _pad_level(f: jnp.ndarray) -> jnp.ndarray:
+    """Pad a level map so both spatial dims are >= WIN (window DMA never
+    reads out of bounds)."""
+    _, h, w, _ = f.shape
+    ph = max(WIN - h, 0)
+    pw = max(WIN - w, 0)
+    if ph or pw:
+        f = jnp.pad(f, ((0, 0), (0, ph), (0, pw), (0, 0)))
+    return f
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("strides", "output_size", "sampling_ratio",
+                     "finest_scale", "aligned", "interpret"),
+)
+def multilevel_roi_align_pallas(
+    features: Sequence[jnp.ndarray],
+    rois: jnp.ndarray,
+    batch_idx: jnp.ndarray,
+    strides: Tuple[int, ...] = (4, 8, 16, 32),
+    output_size: int = 7,
+    sampling_ratio: int = 2,
+    finest_scale: float = 56.0,
+    aligned: bool = True,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """FPN RoIAlign, Pallas fast path (forward).
+
+    Same contract as ops.roi_align.multilevel_roi_align. Numerics match
+    except extreme-aspect RoIs whose sample span exceeds the window — they
+    are routed one level coarser (see module docstring).
+    """
+    L = len(features)
+    B, _, _, C = features[0].shape
+    R = rois.shape[0]
+    T = 8  # rois per grid program
+    assert R % T == 0, f"roi count {R} must be a multiple of {T}"
+    dtype = features[0].dtype
+
+    level_hw = [(f.shape[1], f.shape[2]) for f in features]
+    lvl, oy, ox, wy, wx = _route_and_weights(
+        rois, batch_idx, level_hw, strides, output_size, sampling_ratio,
+        finest_scale, aligned,
+    )
+    padded = [_pad_level(f) for f in features[:L]]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(R // T,),
+        in_specs=[
+            pl.BlockSpec(
+                (T, output_size, WIN), lambda g, *_: (g, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (T, output_size, WIN), lambda g, *_: (g, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ]
+        + [pl.BlockSpec(memory_space=pltpu.ANY) for _ in range(L)],
+        out_specs=pl.BlockSpec(
+            (T, output_size, output_size, C),
+            lambda g, *_: (g, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, WIN, WIN, C), dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    kernel = functools.partial(
+        _roi_kernel, T=T, L=L, C=C, out_size=output_size
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((R, output_size, output_size, C), dtype),
+        interpret=interpret,
+    )(
+        lvl, batch_idx.astype(jnp.int32), oy, ox,
+        wy.astype(dtype), wx.astype(dtype), *padded,
+    )
+    return out

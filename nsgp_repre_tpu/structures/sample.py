@@ -30,6 +30,11 @@ class InstanceArray:
     labels: jnp.ndarray
     valid: jnp.ndarray
     scores: Optional[jnp.ndarray] = None
+    # optional instance masks: for gt, (..., K, Hm, Wm) box-normalized
+    # crops (each gt's mask resampled over its own box — the TPU-static
+    # replacement for mmdet BitmapMasks); for predictions, (..., K, 28,
+    # 28) mask-head probabilities
+    masks: Optional[jnp.ndarray] = None
 
     @property
     def capacity(self) -> int:

@@ -1,0 +1,212 @@
+"""Alternate model families: RetinaNet, RPN, FastRCNN, MaskRCNN,
+CascadeRCNN (SURVEY §1 layer 10 / reference _base_/models configs).
+
+Mirrors the reference's test style (tests/test_models/test_detectors/
+test_two_stage.py): tiny backbone, loss mode asserts loss-dict keys and
+finite values, predict mode asserts padded-output shapes.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nsgp_repre_tpu.models.cascade import CascadeConfig, CascadeRCNN
+from nsgp_repre_tpu.models.detector import DetectorConfig
+from nsgp_repre_tpu.models.mask import MaskRCNN, MaskRCNNConfig
+from nsgp_repre_tpu.models.single_stage import RetinaNet, RetinaNetConfig
+from nsgp_repre_tpu.models.two_stage_variants import RPN, FastRCNN
+from nsgp_repre_tpu.structures.sample import DetBatch, InstanceArray
+
+B, H, W = 1, 64, 64
+KW = dict(
+    num_classes=4, task_split=(0, 4), backbone_blocks=(1, 1, 1, 1),
+    rpn_nms_pre=64, rpn_max_per_img=32, rcnn_num=16, max_per_img=8,
+)
+
+
+def _batch():
+    gt = InstanceArray(
+        boxes=jnp.asarray([[[10.0, 10.0, 40.0, 50.0], [20.0, 15.0, 55.0, 60.0]]] * B),
+        labels=jnp.asarray([[1, 2]] * B, jnp.int32),
+        valid=jnp.ones((B, 2), bool),
+    )
+    return DetBatch(
+        images=jnp.zeros((B, H, W, 3), jnp.float32),
+        img_shape=jnp.asarray([[H, W]] * B, jnp.int32),
+        ori_shape=jnp.asarray([[H, W]] * B, jnp.int32),
+        scale_factor=jnp.ones((B, 2)),
+        gt=gt,
+    )
+
+
+def _finite(losses):
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), f"{k} not finite"
+
+
+def test_retinanet_loss_and_predict():
+    cfg = RetinaNetConfig(num_classes=4, backbone_blocks=(1, 1, 1, 1))
+    model = RetinaNet(config=cfg)
+    batch = _batch()
+    variables = model.init(jax.random.PRNGKey(0), batch.images)
+    losses = jax.jit(lambda v, b: model.apply(v, b, method=model.loss))(
+        variables, batch
+    )
+    assert set(losses) == {"loss_cls", "loss_bbox"}
+    _finite(losses)
+    dets = jax.jit(lambda v, b: model.apply(v, b, method=model.predict))(
+        variables, batch
+    )
+    assert dets.boxes.shape == (B, cfg.max_per_img, 4)
+    assert dets.scores.shape == (B, cfg.max_per_img)
+
+
+def test_retinanet_prior_bias():
+    """Focal-loss prior bias: initial background probability ≈ 0.99."""
+    cfg = RetinaNetConfig(num_classes=4, backbone_blocks=(1, 1, 1, 1))
+    model = RetinaNet(config=cfg)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    bias = variables["params"]["bbox_head"]["retina_cls"]["bias"]
+    np.testing.assert_allclose(
+        jax.nn.sigmoid(bias), 0.01, rtol=1e-5
+    )
+
+
+def test_rpn_standalone():
+    cfg = DetectorConfig(**KW)
+    model = RPN(config=cfg)
+    batch = _batch()
+    variables = model.init(jax.random.PRNGKey(0), batch.images)
+    losses = jax.jit(
+        lambda v, b: model.apply(v, b, jax.random.PRNGKey(1), method=model.loss)
+    )(variables, batch)
+    assert set(losses) == {"loss_rpn_cls", "loss_rpn_bbox"}
+    _finite(losses)
+    dets = jax.jit(lambda v, b: model.apply(v, b, method=model.predict))(
+        variables, batch
+    )
+    assert dets.boxes.shape == (B, cfg.rpn_max_per_img, 4)
+    assert bool(jnp.all(dets.labels == 0))
+
+
+def test_fast_rcnn_external_proposals():
+    cfg = DetectorConfig(**KW)
+    model = FastRCNN(config=cfg)
+    batch = _batch()
+    variables = model.init(jax.random.PRNGKey(0), batch.images)
+    props = InstanceArray(
+        boxes=jnp.tile(jnp.asarray([[5.0, 5.0, 50.0, 50.0]]), (B, 32, 1)),
+        labels=jnp.zeros((B, 32), jnp.int32),
+        valid=jnp.ones((B, 32), bool),
+    )
+    losses = jax.jit(
+        lambda v, b, p: model.apply(
+            v, b, jax.random.PRNGKey(1), p, method=model.loss
+        )
+    )(variables, batch, props)
+    assert "loss_cls" in losses and "loss_bbox" in losses
+    assert not any(k.startswith("loss_rpn") for k in losses)
+    _finite(losses)
+    dets = jax.jit(
+        lambda v, b, p: model.apply(v, b, p, method=model.predict)
+    )(variables, batch, props)
+    assert dets.boxes.shape == (B, cfg.max_per_img, 4)
+
+
+def test_cascade_rcnn():
+    cfg = CascadeConfig(**KW)
+    model = CascadeRCNN(config=cfg)
+    batch = _batch()
+    variables = model.init(jax.random.PRNGKey(0), batch.images)
+    # three stage heads exist
+    for i in range(3):
+        assert f"cascade_head{i}" in variables["params"]
+    losses = jax.jit(
+        lambda v, b: model.apply(v, b, jax.random.PRNGKey(1), method=model.loss)
+    )(variables, batch)
+    for i in range(3):
+        assert f"s{i}.loss_cls" in losses and f"s{i}.loss_bbox" in losses
+    _finite(losses)
+    # stage loss weights scale the later stages down at init (CE ~ log C
+    # is equal per stage before training)
+    assert float(losses["s1.loss_cls"]) < float(losses["s0.loss_cls"])
+    dets = jax.jit(lambda v, b: model.apply(v, b, method=model.predict))(
+        variables, batch
+    )
+    assert dets.boxes.shape == (B, cfg.max_per_img, 4)
+
+
+def test_mask_rcnn():
+    cfg = MaskRCNNConfig(**KW)
+    model = MaskRCNN(config=cfg)
+    batch = _batch()
+    rng = np.random.RandomState(0)
+    gtm = batch.gt.replace(
+        masks=jnp.asarray(rng.rand(B, 2, 56, 56) > 0.5, jnp.float32)
+    )
+    batch = batch.replace(gt=gtm)
+    variables = model.init(jax.random.PRNGKey(0), batch.images)
+    losses = jax.jit(
+        lambda v, b: model.apply(v, b, jax.random.PRNGKey(1), method=model.loss)
+    )(variables, batch)
+    assert "loss_mask" in losses
+    _finite(losses)
+    dets = jax.jit(lambda v, b: model.apply(v, b, method=model.predict))(
+        variables, batch
+    )
+    assert dets.masks.shape == (B, cfg.max_per_img, 28, 28)
+
+
+def test_mask_target_resample_identity():
+    """A roi equal to the gt box resamples the crop ~identically."""
+    from nsgp_repre_tpu.models.mask import _resample_normalized
+
+    rng = np.random.RandomState(1)
+    crop = jnp.asarray(rng.rand(56, 56) > 0.5, jnp.float32)
+    box = jnp.asarray([10.0, 20.0, 66.0, 76.0])  # 56x56 box
+    out = _resample_normalized(crop, box, box, 56)
+    # away from 0.5-crossings the resample is exact
+    agree = float(jnp.mean(((out > 0.5) == (crop > 0.5)).astype(jnp.float32)))
+    assert agree > 0.9
+
+
+def test_mask_paste_roundtrip():
+    from nsgp_repre_tpu.structures.mask_paste import normalize_gt_masks, paste_masks
+
+    img_h, img_w = 64, 80
+    bitmap = np.zeros((1, img_h, img_w), np.uint8)
+    bitmap[0, 10:30, 20:50] = 1
+    boxes = np.asarray([[20.0, 10.0, 50.0, 30.0]])
+    crops = normalize_gt_masks(bitmap, boxes, size=56)
+    assert crops.shape == (1, 56, 56)
+    assert crops.mean() > 0.9  # box-tight mask fills its crop
+    pasted = paste_masks(crops, boxes, img_h, img_w)
+    inter = (pasted[0] & (bitmap[0] > 0)).sum()
+    union = (pasted[0] | (bitmap[0] > 0)).sum()
+    assert inter / union > 0.85
+
+
+def test_zoo_builder_from_configs():
+    """Every new _base_/models config builds through the zoo."""
+    from nsgp_repre_tpu.models.zoo import build_detector
+    from nsgp_repre_tpu.utils.config import load_config
+
+    import os.path as osp
+
+    base = osp.join(osp.dirname(__file__), "..", "cl_faster_rcnn_cfgs", "_base_", "models")
+    for name, cls_name in [
+        ("retinanet_r50_fpn.py", "RetinaNet"),
+        ("rpn_r50_fpn.py", "RPN"),
+        ("fast-rcnn_r50_fpn.py", "FastRCNN"),
+        ("mask-rcnn_r50_fpn.py", "MaskRCNN"),
+        ("cascade-rcnn_r50_fpn.py", "CascadeRCNN"),
+        ("faster-rcnn_r50_fpn.py", "FasterRCNN"),
+    ]:
+        cfg = load_config(osp.join(base, name))
+        model, det_cfg = build_detector(
+            cfg["model"], num_classes=4, backbone_blocks=(1, 1, 1, 1)
+        )
+        assert type(model).__name__ == cls_name, name
+        assert det_cfg.num_classes == 4
