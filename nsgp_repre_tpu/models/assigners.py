@@ -30,6 +30,7 @@ def max_iou_assign(
     min_pos_iou: float,
     match_low_quality: bool,
     prior_valid: jnp.ndarray = None,
+    gt_max_assign_all: bool = True,
 ):
     """Assign each prior a gt index, NEG or IGNORE.
 
@@ -60,6 +61,14 @@ def max_iou_assign(
             & (gt_max[:, None] >= min_pos_iou)
             & gt_valid[:, None]
         )  # (G, N)
+        if not gt_max_assign_all:
+            # SSD (ssd300.py gt_max_assign_all=False): each gt claims
+            # only its single argmax prior, not every tying prior
+            argmax_prior = overlaps.argmax(axis=1)  # (G,)
+            only = jnp.zeros_like(claim).at[
+                jnp.arange(claim.shape[0]), argmax_prior
+            ].set(True)
+            claim = claim & only
         # later gts override earlier ones → pick the max gt index claiming
         gt_ids = jnp.arange(gt_boxes.shape[0], dtype=jnp.int32)
         claimed_by = jnp.max(

@@ -298,3 +298,120 @@ class CascadeRCNN(FasterRCNN):
         ds = jnp.take_along_axis(fs, keep_idx, axis=1)
         dl = jnp.take_along_axis(fl, keep_idx, axis=1)
         return InstanceArray(boxes=db, labels=dl, valid=dv, scores=ds)
+
+
+@dataclasses.dataclass(frozen=True)
+class CascadeMaskConfig(CascadeConfig):
+    mask_size: int = 28
+    mask_roi_out_size: int = 14
+    mask_convs: int = 4
+    mask_channels: int = 256
+    gt_mask_size: int = 56
+
+
+class CascadeMaskRCNN(CascadeRCNN):
+    """Cascade Mask R-CNN (cascade-mask-rcnn_r50_fpn.py): cascade bbox
+    stages + one FCN mask head. The mask branch trains on the FINAL
+    stage's sampled positive rois (mmdet trains it per stage with the
+    stage loss weights; the final-stage-only variant is the dominant
+    term and keeps the step one jit — deviation documented here)."""
+
+    def setup(self):
+        super().setup()
+        from .mask import FCNMaskHead
+
+        self.mask_head = FCNMaskHead(
+            num_classes=self.config.num_classes,
+            num_convs=self.config.mask_convs,
+            channels=self.config.mask_channels,
+            name="mask_head",
+        )
+
+    def __call__(self, images: jnp.ndarray):
+        out = super().__call__(images)
+        self.mask_head(
+            jnp.zeros(
+                (1, self.config.mask_roi_out_size, self.config.mask_roi_out_size, 256),
+                jnp.float32,
+            )
+        )
+        return out
+
+    def _mask_roi_feats(self, feats, rois, batch_idx):
+        from ..ops.roi_align import multilevel_roi_align
+
+        cfg: CascadeMaskConfig = self.config
+        fs = [f.astype(self._dtype) for f in feats[: len(cfg.roi_strides)]]
+        return multilevel_roi_align(
+            fs, rois, batch_idx,
+            strides=cfg.roi_strides,
+            output_size=cfg.mask_roi_out_size,
+            sampling_ratio=cfg.roi_sampling_ratio,
+            finest_scale=cfg.roi_finest_scale,
+        ).astype(self._dtype)
+
+    def loss(self, batch, rng, rpn_gt=None, roi_gt=None,
+             replay_feats=None, replay_labels=None):
+        cfg: CascadeMaskConfig = self.config
+        roi_gt_eff = roi_gt if roi_gt is not None else batch.gt
+        k_cascade, k_mask = jax.random.split(rng)
+        losses = super().loss(batch, k_cascade, rpn_gt, roi_gt,
+                              replay_feats, replay_labels)
+        if roi_gt_eff.masks is None:
+            return losses
+        # final-stage sample for the mask branch
+        feats = self.extract_feat(batch.images)
+        _, proposals = self.rpn_loss_and_proposals(
+            feats, rpn_gt if rpn_gt is not None else batch.gt,
+            batch.img_shape, k_mask, with_loss=False,
+        )
+        rois, batch_idx, labels, valid, pos, _, _ = self._sample_stage(
+            proposals, roi_gt_eff, k_mask,
+            cfg.stage_pos_iou[-1], cfg.stage_stds[-1],
+        )
+        m_feats = self._mask_roi_feats(feats, rois, batch_idx)
+        mask_logits = self.mask_head(m_feats).astype(jnp.float32)
+        from ..structures.boxes import bbox_overlaps
+        from .mask import _resample_normalized
+
+        gt_boxes = roi_gt_eff.boxes
+        gt_masks = roi_gt_eff.masks.astype(jnp.float32)
+
+        def one_roi(roi, bidx):
+            ious = bbox_overlaps(roi[None, :], gt_boxes[bidx])[0]
+            ious = jnp.where(roi_gt_eff.valid[bidx], ious, -1.0)
+            g = jnp.argmax(ious)
+            t = _resample_normalized(
+                gt_masks[bidx, g], roi, gt_boxes[bidx, g], cfg.mask_size
+            )
+            return (t > 0.5).astype(jnp.float32)
+
+        targets = jax.vmap(one_roi)(rois, batch_idx)
+        ml = jnp.take_along_axis(
+            mask_logits,
+            jnp.clip(labels, 0, cfg.num_classes - 1)[:, None, None, None],
+            axis=-1,
+        )[..., 0]
+        bce = jnp.maximum(ml, 0) - ml * targets + jnp.log1p(jnp.exp(-jnp.abs(ml)))
+        w = pos.astype(jnp.float32)
+        losses["loss_mask"] = (bce.mean(axis=(1, 2)) * w).sum() / jnp.maximum(w.sum(), 1.0)
+        return losses
+
+    def predict(self, batch, rescale: bool = True):
+        cfg: CascadeMaskConfig = self.config
+        dets = super().predict(batch, rescale)
+        feats = self.extract_feat(batch.images)
+        B, D = dets.boxes.shape[:2]
+        boxes_img = dets.boxes
+        if rescale:
+            scale = jnp.concatenate([batch.scale_factor, batch.scale_factor], -1)
+            boxes_img = dets.boxes * scale[:, None, :]
+        rois = boxes_img.reshape(-1, 4)
+        bidx = jnp.broadcast_to(
+            jnp.arange(B, dtype=jnp.int32)[:, None], (B, D)
+        ).reshape(-1)
+        logits = self.mask_head(self._mask_roi_feats(feats, rois, bidx)).astype(jnp.float32)
+        lbl = jnp.clip(dets.labels.reshape(-1), 0, cfg.num_classes - 1)
+        per_det = jnp.take_along_axis(logits, lbl[:, None, None, None], axis=-1)[..., 0]
+        probs = jax.nn.sigmoid(per_det).reshape(B, D, cfg.mask_size, cfg.mask_size)
+        return dets.replace(masks=probs)

@@ -35,6 +35,7 @@ def _kth_largest_threshold(priority: jnp.ndarray, mask: jnp.ndarray, k_max: int)
     the selection exactly as random as the exact one.
     """
     masked = jnp.where(mask, priority, -jnp.inf)
+    k_max = min(k_max, masked.shape[-1])  # tiny single-level test maps
     top = fast_top_k(masked, k_max)[0]  # (k_max,) descending
 
     def thresh(k_dyn):
@@ -101,7 +102,11 @@ def random_sample_gather(
     key = jnp.where(pos_mask, 2.0 * BIG + u2, jnp.where(neg_mask, BIG + u2, u2 - BIG))
     # exact top_k here: the selected set (≤ num entries with key > 0) must
     # ALL land in the output slots; approx recall could drop a sample.
-    topv, topi = jax.lax.top_k(key, num)
+    k = min(num, n)
+    topv, topi = jax.lax.top_k(key, k)
+    if k < num:  # fewer priors than slots (tiny single-level maps)
+        topv = jnp.concatenate([topv, jnp.full((num - k,), -BIG, topv.dtype)])
+        topi = jnp.concatenate([topi, jnp.zeros((num - k,), topi.dtype)])
     idx_valid = topv > 0.0
     idx_pos = topv > 2.0 * BIG - 1.0
     idx = jnp.where(idx_valid, topi, 0).astype(jnp.int32)

@@ -21,10 +21,12 @@ from __future__ import annotations
 import dataclasses
 from typing import Any, Dict, Optional, Tuple
 
-from .cascade import CascadeConfig, CascadeRCNN
+from .c4 import FasterRCNNC4, FasterRCNNDC5, MaskRCNNC4, c4_config
+from .cascade import CascadeConfig, CascadeMaskConfig, CascadeMaskRCNN, CascadeRCNN
 from .detector import DetectorConfig, FasterRCNN
 from .mask import MaskRCNN, MaskRCNNConfig
 from .single_stage import RetinaNet, RetinaNetConfig
+from .ssd import SSD, SSDConfig
 from .two_stage_variants import RPN, FastRCNN
 
 
@@ -63,6 +65,11 @@ def _two_stage_kwargs(model: Dict[str, Any], num_classes: int) -> Dict[str, Any]
     )
 
 
+def _only_fields(cls, kw: Dict[str, Any]) -> Dict[str, Any]:
+    names = {f.name for f in dataclasses.fields(cls)}
+    return {k: v for k, v in kw.items() if k in names}
+
+
 def build_detector(
     model: Dict[str, Any],
     num_classes: Optional[int] = None,
@@ -73,6 +80,8 @@ def build_detector(
 
     ``num_classes`` overrides the config's head num_classes (the
     reference leaves COCO's 80 in the bases and overrides in leaves).
+    Overrides not applicable to the selected family's config are
+    silently dropped (e.g. ``backbone_blocks`` for the VGG-based SSD).
     """
     typ = model.get("type", "FasterRCNN")
 
@@ -103,9 +112,37 @@ def build_detector(
             frozen_stages=bb.get("frozen_stages", 1),
             compute_dtype=compute_dtype,
         )
-        rkw.update(overrides)
+        rkw.update(_only_fields(RetinaNetConfig, overrides))
         cfg = RetinaNetConfig(**rkw)
         return RetinaNet(config=cfg), cfg
+
+    if typ == "SSD":
+        head = model.get("bbox_head", {}) or {}
+        train_cfg = model.get("train_cfg", {}) or {}
+        test_cfg = model.get("test_cfg", {}) or {}
+        anchor = head.get("anchor_generator", {}) or {}
+        skw = dict(
+            num_classes=num_classes or head.get("num_classes", 80),
+            input_size=anchor.get("input_size", 300),
+            strides=tuple(anchor.get("strides", (8, 16, 32, 64, 100, 300))),
+            level_ratios=tuple(
+                tuple(float(x) for x in r)
+                for r in anchor.get("ratios", [[2], [2, 3], [2, 3], [2, 3], [2], [2]])
+            ),
+            basesize_ratio_range=tuple(
+                anchor.get("basesize_ratio_range", (0.15, 0.9))
+            ),
+            neg_pos_ratio=train_cfg.get("neg_pos_ratio", 3),
+            smoothl1_beta=train_cfg.get("smoothl1_beta", 1.0),
+            nms_pre=test_cfg.get("nms_pre", 1000),
+            score_thr=test_cfg.get("score_thr", 0.02),
+            nms_iou=test_cfg.get("nms", {}).get("iou_threshold", 0.45),
+            max_per_img=test_cfg.get("max_per_img", 200),
+            compute_dtype=compute_dtype,
+        )
+        skw.update(_only_fields(SSDConfig, overrides))
+        cfg = SSDConfig(**skw)
+        return SSD(config=cfg), cfg
 
     nc = num_classes if num_classes is not None else _head_num_classes(model)
     kw = _two_stage_kwargs(model, nc)
@@ -134,6 +171,52 @@ def build_detector(
             mask_channels=mh.get("conv_out_channels", 256),
         )
         return MaskRCNN(config=cfg), cfg
+    if typ in ("FasterRCNNC4", "MaskRCNNC4", "RPNC4", "FasterRCNNDC5"):
+        # single-level caffe trunks: anchor scales [2..32] on stride 16
+        anchor = (model.get("rpn_head", {}) or {}).get("anchor_generator", {}) or {}
+        kw["anchor_strides"] = tuple(anchor.get("strides", (16,)))
+        kw["anchor_scales"] = tuple(
+            float(s) for s in anchor.get("scales", (2, 4, 8, 16, 32))
+        )
+        kw["roi_strides"] = kw["anchor_strides"]
+        cfg = DetectorConfig(**kw)
+        cls = {
+            "FasterRCNNC4": FasterRCNNC4,
+            "MaskRCNNC4": MaskRCNNC4,
+            "FasterRCNNDC5": FasterRCNNDC5,
+        }.get(typ)
+        if typ == "RPNC4":
+            # rpn-only on the C4 trunk: reuse FasterRCNNC4's trunk with
+            # RPN loss/predict via the generic RPN variant over it
+            class RPNC4(FasterRCNNC4):
+                loss = RPN.loss
+                predict = RPN.predict
+                __call__ = RPN.__call__
+
+            return RPNC4(config=cfg), cfg
+        return cls(config=cfg), cfg
+
+    if typ == "CascadeMaskRCNN":
+        rh = model.get("roi_head", {}) or {}
+        rcnn_list = (model.get("train_cfg", {}) or {}).get("rcnn", []) or []
+        heads = rh.get("bbox_head", []) or []
+        extra = {}
+        if rcnn_list and isinstance(rcnn_list, (list, tuple)):
+            extra["stage_pos_iou"] = tuple(
+                s.get("assigner", {}).get("pos_iou_thr", t)
+                for s, t in zip(rcnn_list, (0.5, 0.6, 0.7))
+            )
+        if heads:
+            extra["stage_stds"] = tuple(
+                tuple(h.get("bbox_coder", {}).get("target_stds", (0.1, 0.1, 0.2, 0.2)))
+                for h in heads
+            )
+            extra["num_stages"] = len(heads)
+        if rh.get("stage_loss_weights"):
+            extra["stage_loss_weights"] = tuple(rh["stage_loss_weights"])
+        cfg = CascadeMaskConfig(**kw, **extra)
+        return CascadeMaskRCNN(config=cfg), cfg
+
     if typ == "CascadeRCNN":
         rh = model.get("roi_head", {}) or {}
         rcnn_list = (model.get("train_cfg", {}) or {}).get("rcnn", []) or []

@@ -42,6 +42,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 WIN = 48  # window side (multiple of 16 for bf16 sublane tiling)
+X_ALIGN = 8  # DMA x-origin alignment (HBM (8,128) tile, sublane dim = W)
 
 
 # ----------------------------------------------------------------------
@@ -109,9 +110,11 @@ def _route_and_weights(
 
     # bump to a coarser level until the sample span fits the window:
     # samples cover (out - 1/ss)/out of the roi extent per axis, plus the
-    # bilinear +1 neighbor and the -1 origin margin. A level whose map
-    # already fits inside the window always works (indices are clamped
-    # into the map, mmcv outside-zeroing applies).
+    # bilinear +1 neighbor, the -1 origin margin, and the x-origin
+    # alignment slack (HBM tiling: DMA slice starts in the W dim must be
+    # X_ALIGN-aligned). A level whose map already fits inside the window
+    # always works (indices are clamped into the map, mmcv
+    # outside-zeroing applies).
     w_img = rois[:, 2] - rois[:, 0]
     h_img = rois[:, 3] - rois[:, 1]
     frac = (out_size - 1.0 / ss) / out_size
@@ -119,9 +122,9 @@ def _route_and_weights(
         s = float(strides[l])
         h_l, w_l = level_hw[l]
         fits = (
-            (jnp.maximum(w_img, h_img) / s * frac + 3.0 <= WIN)
-            | ((h_l <= WIN) & (w_l <= WIN))
-        )
+            (h_img / s * frac + 3.0 <= WIN)
+            & (w_img / s * frac + 3.0 + X_ALIGN <= WIN)
+        ) | ((h_l <= WIN) & (w_l <= WIN))
         lvl = jnp.where((lvl == l) & ~fits, l + 1, lvl)
     lvl = jnp.clip(lvl, 0, L - 1)
 
@@ -135,14 +138,20 @@ def _route_and_weights(
     h_lim = h_tab[lvl]
     w_lim = w_tab[lvl]
     # window origin: cover [floor(first sample) - 1, ...]; clamp into the
-    # PADDED map (padded to >= WIN per axis)
+    # PADDED map (per-axis >= WIN; width rounded up to X_ALIGN, matching
+    # _pad_level)
+    pad_h_tab = jnp.asarray([float(max(WIN, h)) for h, _ in level_hw])
+    pad_w_tab = jnp.asarray(
+        [float(max(WIN, -(-w // X_ALIGN) * X_ALIGN)) for _, w in level_hw]
+    )
     ss_off = 0.5 / ss
     oy = jnp.floor(y1 + ss_off * span_y / out_size) - 1
     ox = jnp.floor(x1 + ss_off * span_x / out_size) - 1
-    pad_h = jnp.maximum(h_lim, float(WIN))
-    pad_w = jnp.maximum(w_lim, float(WIN))
-    oy = jnp.clip(oy, 0, pad_h - WIN).astype(jnp.int32)
-    ox = jnp.clip(ox, 0, pad_w - WIN).astype(jnp.int32)
+    oy = jnp.clip(oy, 0, pad_h_tab[lvl] - WIN).astype(jnp.int32)
+    # x origin must be X_ALIGN-aligned for the HBM-tiled DMA slice; the
+    # padded widths are multiples of X_ALIGN so the clip preserves it
+    ox = jnp.clip(ox, 0, pad_w_tab[lvl] - WIN).astype(jnp.int32)
+    ox = (ox // X_ALIGN) * X_ALIGN
 
     wy = _axis_weights(y1, span_y, oy, out_size, ss, h_lim)
     wx = _axis_weights(x1, span_x, ox, out_size, ss, w_lim)
@@ -162,37 +171,29 @@ def _roi_kernel(
     sems = rest[L + 2]
     prog = pl.program_id(0)
 
+    def window_copy(r, l, slot):
+        ox = pl.multiple_of(ox_ref[r], X_ALIGN)
+        return pltpu.make_async_copy(
+            level_refs[l].at[
+                b_ref[r], pl.ds(oy_ref[r], WIN), pl.ds(ox, WIN), :
+            ],
+            win.at[slot],
+            sems.at[slot],
+        )
+
     def start_dma(i, slot):
         r = prog * T + i
         for l in range(L):
             @pl.when(lvl_ref[r] == l)
             def _():
-                pltpu.make_async_copy(
-                    level_refs[l].at[
-                        b_ref[r],
-                        pl.ds(oy_ref[r], WIN),
-                        pl.ds(ox_ref[r], WIN),
-                        :,
-                    ],
-                    win.at[slot],
-                    sems.at[slot],
-                ).start()
+                window_copy(r, l, slot).start()
 
     def wait_dma(i, slot):
         r = prog * T + i
         for l in range(L):
             @pl.when(lvl_ref[r] == l)
             def _():
-                pltpu.make_async_copy(
-                    level_refs[l].at[
-                        b_ref[r],
-                        pl.ds(oy_ref[r], WIN),
-                        pl.ds(ox_ref[r], WIN),
-                        :,
-                    ],
-                    win.at[slot],
-                    sems.at[slot],
-                ).wait()
+                window_copy(r, l, slot).wait()
 
     start_dma(0, 0)
     for i in range(T):
@@ -212,11 +213,13 @@ def _roi_kernel(
 
 
 def _pad_level(f: jnp.ndarray) -> jnp.ndarray:
-    """Pad a level map so both spatial dims are >= WIN (window DMA never
-    reads out of bounds)."""
+    """Pad a level map so both spatial dims are >= WIN and the width is a
+    multiple of X_ALIGN (so clipped window origins stay aligned and edge
+    windows keep full coverage)."""
     _, h, w, _ = f.shape
     ph = max(WIN - h, 0)
-    pw = max(WIN - w, 0)
+    w_target = max(WIN, -(-w // X_ALIGN) * X_ALIGN)
+    pw = w_target - w
     if ph or pw:
         f = jnp.pad(f, ((0, 0), (0, ph), (0, pw), (0, 0)))
     return f

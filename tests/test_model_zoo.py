@@ -188,6 +188,107 @@ def test_mask_paste_roundtrip():
     assert inter / union > 0.85
 
 
+def test_ssd300():
+    from nsgp_repre_tpu.models.ssd import SSD, SSDConfig, ssd_anchor_sizes
+
+    mn, mx = ssd_anchor_sizes(300, 6, (0.15, 0.9))
+    assert mn == [21, 45, 99, 153, 207, 261]
+    assert mx == [45, 99, 153, 207, 261, 315]
+
+    cfg = SSDConfig(num_classes=4, max_per_img=8, nms_pre=64)
+    model = SSD(config=cfg)
+    imgs = jnp.zeros((B, 128, 128, 3), jnp.float32)
+    gt = InstanceArray(
+        boxes=jnp.asarray([[[10.0, 10.0, 60.0, 70.0], [30.0, 25.0, 100.0, 110.0]]] * B),
+        labels=jnp.asarray([[1, 2]] * B, jnp.int32),
+        valid=jnp.ones((B, 2), bool),
+    )
+    batch = DetBatch(
+        images=imgs,
+        img_shape=jnp.asarray([[128, 128]] * B, jnp.int32),
+        ori_shape=jnp.asarray([[128, 128]] * B, jnp.int32),
+        scale_factor=jnp.ones((B, 2)),
+        gt=gt,
+    )
+    variables = model.init(jax.random.PRNGKey(0), imgs)
+    # L2Norm parameter initialized at 20 (ssd300.py l2_norm_scale)
+    np.testing.assert_allclose(variables["params"]["neck"]["l2_norm"], 20.0)
+    losses = jax.jit(lambda v, b: model.apply(v, b, method=model.loss))(
+        variables, batch
+    )
+    assert set(losses) == {"loss_cls", "loss_bbox"}
+    _finite(losses)
+    dets = jax.jit(lambda v, b: model.apply(v, b, method=model.predict))(
+        variables, batch
+    )
+    assert dets.boxes.shape == (B, cfg.max_per_img, 4)
+
+
+def test_cascade_mask_rcnn():
+    from nsgp_repre_tpu.models.cascade import CascadeMaskConfig, CascadeMaskRCNN
+
+    cfg = CascadeMaskConfig(**KW)
+    model = CascadeMaskRCNN(config=cfg)
+    batch = _batch()
+    rng = np.random.RandomState(0)
+    batch = batch.replace(
+        gt=batch.gt.replace(
+            masks=jnp.asarray(rng.rand(B, 2, 56, 56) > 0.5, jnp.float32)
+        )
+    )
+    variables = model.init(jax.random.PRNGKey(0), batch.images)
+    losses = jax.jit(
+        lambda v, b: model.apply(v, b, jax.random.PRNGKey(1), method=model.loss)
+    )(variables, batch)
+    assert "loss_mask" in losses and "s2.loss_cls" in losses
+    _finite(losses)
+    dets = jax.jit(lambda v, b: model.apply(v, b, method=model.predict))(
+        variables, batch
+    )
+    assert dets.masks.shape == (B, cfg.max_per_img, 28, 28)
+
+
+def test_c4_dc5_variants():
+    from nsgp_repre_tpu.models.c4 import FasterRCNNC4, FasterRCNNDC5
+
+    kw = dict(KW)
+    kw.update(anchor_strides=(16,), anchor_scales=(2.0, 4.0, 8.0, 16.0, 32.0),
+              roi_strides=(16,), backbone_blocks=(1, 1, 1, 1))
+    batch = _batch()
+    for cls in (FasterRCNNC4, FasterRCNNDC5):
+        cfg = DetectorConfig(**kw)
+        model = cls(config=cfg)
+        variables = model.init(jax.random.PRNGKey(0), batch.images)
+        losses = jax.jit(
+            lambda v, b, m=model: m.apply(v, b, jax.random.PRNGKey(1), method=m.loss)
+        )(variables, batch)
+        assert "loss_cls" in losses and "loss_rpn_cls" in losses, cls.__name__
+        _finite(losses)
+        dets = jax.jit(
+            lambda v, b, m=model: m.apply(v, b, method=m.predict)
+        )(variables, batch)
+        assert dets.boxes.shape == (B, cfg.max_per_img, 4)
+
+
+def test_gt_max_assign_all_flag():
+    """SSD's gt_max_assign_all=False: a gt's low-quality match claims
+    only the argmax prior, not every tying prior."""
+    from nsgp_repre_tpu.models.assigners import max_iou_assign
+
+    priors = jnp.asarray(
+        [[0.0, 0.0, 10.0, 10.0], [0.0, 0.0, 10.0, 10.0], [50.0, 50.0, 60.0, 60.0]]
+    )
+    gt = jnp.asarray([[0.0, 0.0, 10.0, 12.0]])
+    valid = jnp.ones((1,), bool)
+    a_all, _ = max_iou_assign(priors, gt, valid, 0.95, 0.3, 0.0, True)
+    a_one, _ = max_iou_assign(
+        priors, gt, valid, 0.95, 0.3, 0.0, True, gt_max_assign_all=False
+    )
+    # both tying priors claimed with the default; only one without
+    assert int((a_all == 0).sum()) == 2
+    assert int((a_one == 0).sum()) == 1
+
+
 def test_zoo_builder_from_configs():
     """Every new _base_/models config builds through the zoo."""
     from nsgp_repre_tpu.models.zoo import build_detector
@@ -202,7 +303,13 @@ def test_zoo_builder_from_configs():
         ("fast-rcnn_r50_fpn.py", "FastRCNN"),
         ("mask-rcnn_r50_fpn.py", "MaskRCNN"),
         ("cascade-rcnn_r50_fpn.py", "CascadeRCNN"),
+        ("cascade-mask-rcnn_r50_fpn.py", "CascadeMaskRCNN"),
         ("faster-rcnn_r50_fpn.py", "FasterRCNN"),
+        ("faster-rcnn_r50-caffe-c4.py", "FasterRCNNC4"),
+        ("faster-rcnn_r50-caffe-dc5.py", "FasterRCNNDC5"),
+        ("mask-rcnn_r50-caffe-c4.py", "MaskRCNNC4"),
+        ("rpn_r50-caffe-c4.py", "RPNC4"),
+        ("ssd300.py", "SSD"),
     ]:
         cfg = load_config(osp.join(base, name))
         model, det_cfg = build_detector(
