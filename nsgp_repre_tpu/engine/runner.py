@@ -147,6 +147,10 @@ def detector_config_from_cfg(cfg: Config) -> DetectorConfig:
         # when validating mAP against the reference)
         use_approx_topk=cfg.get("use_approx_topk", True),
         teacher_fast=cfg.get("teacher_fast", cfg.get("use_approx_topk", True)),
+        roi_align_mode=cfg.get(
+            "roi_align_mode",
+            "window" if cfg.get("use_approx_topk", True) else "gather",
+        ),
     )
 
 
@@ -215,9 +219,14 @@ class NullSpaceRunner:
                     task_id=self.task_id - 1,
                     # teacher fast path: 1x1 RoIAlign sample grid (see
                     # DetectorConfig.teacher_fast) — the gather dominates
-                    # teacher predict (124.7 of 189 ms at batch 16)
+                    # teacher predict (124.7 of 189 ms at batch 16).
+                    # Moot under the Pallas window kernel: its cost is
+                    # DMA-bound, independent of the sample grid, so the
+                    # teacher keeps the full 2x2 grid there.
                     roi_sampling_ratio=(
-                        1 if self.det_cfg.teacher_fast
+                        1
+                        if self.det_cfg.teacher_fast
+                        and self.det_cfg.roi_align_mode != "window"
                         else self.det_cfg.roi_sampling_ratio
                     ),
                 )

@@ -110,11 +110,12 @@ class DetectorConfig:
     # teacher/student numerics parity.
     teacher_fast: bool = True
     # RoIAlign implementation: 'window' = Pallas windowed-DMA +
-    # separable-matmul kernel (ops/roi_align_pallas.py; extreme-aspect
-    # rois route one level coarser so their window fits); 'gather' =
-    # packed XLA gather (ops/roi_align.py, reference-exact routing).
-    # CPU backends always use 'gather'.
-    roi_align_mode: str = "gather"
+    # separable-matmul kernel (ops/roi_align_pallas.py; 5x faster
+    # forward on TPU, but rois whose sample span exceeds the DMA window
+    # route one level coarser); 'gather' = packed XLA gather
+    # (ops/roi_align.py, reference-exact routing — use for mAP-parity
+    # validation). CPU backends always use 'gather'.
+    roi_align_mode: str = "window"
     # RePRE replay variant: 'prototype' (Multi/StandardPrototypeReplayHead
     # CE) or 'raw' (StandardRoIReplayHead teacher-MSE on stored features)
     replay_mode: str = "prototype"
@@ -361,16 +362,33 @@ class FasterRCNN(nn.Module):
 
     def _roi_feats(self, feats, rois, batch_idx):
         """RoIAlign in the compute dtype (the gather is HBM-traffic
-        bound; bf16 halves its bytes). Accumulation is f32 inside."""
+        bound; bf16 halves its bytes). Accumulation is f32 inside.
+
+        roi_align_mode='window' routes through the Pallas windowed-DMA
+        kernel (ops/roi_align_pallas.py) on TPU backends; 'gather' (or
+        any CPU backend) uses the packed XLA gather with reference-exact
+        level routing.
+        """
         cfg = self.config
         fs = [f.astype(self._dtype) for f in feats[: len(cfg.roi_strides)]]
-        out = multilevel_roi_align(
-            fs, rois, batch_idx,
-            strides=cfg.roi_strides,
-            output_size=cfg.roi_out_size,
-            sampling_ratio=cfg.roi_sampling_ratio,
-            finest_scale=cfg.roi_finest_scale,
-        )
+        if cfg.roi_align_mode == "window" and _use_pallas():
+            from ..ops.roi_align_pallas import multilevel_roi_align_window
+
+            out = multilevel_roi_align_window(
+                fs, rois, batch_idx,
+                strides=cfg.roi_strides,
+                output_size=cfg.roi_out_size,
+                sampling_ratio=cfg.roi_sampling_ratio,
+                finest_scale=cfg.roi_finest_scale,
+            )
+        else:
+            out = multilevel_roi_align(
+                fs, rois, batch_idx,
+                strides=cfg.roi_strides,
+                output_size=cfg.roi_out_size,
+                sampling_ratio=cfg.roi_sampling_ratio,
+                finest_scale=cfg.roi_finest_scale,
+            )
         return out.astype(self._dtype)
 
     def roi_loss(self, feats, proposals, gt, rng,

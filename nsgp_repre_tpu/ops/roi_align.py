@@ -130,6 +130,7 @@ def multilevel_roi_align(
     sampling_ratio: int = 2,
     finest_scale: float = 56.0,
     aligned: bool = True,
+    lvl_override: jnp.ndarray = None,
 ) -> jnp.ndarray:
     """FPN RoIAlign with per-RoI level routing in ONE gather pass.
 
@@ -140,6 +141,9 @@ def multilevel_roi_align(
         features: list of (B, H_l, W_l, C) NHWC maps, one per stride.
         rois: (R, 4) boxes in image coordinates.
         batch_idx: (R,) int32.
+        lvl_override: optional (R,) int32 per-roi level replacing the
+            standard routing (used by the Pallas window path's backward
+            to reproduce its window-fit level bump exactly).
 
     Returns:
         (R, output_size, output_size, C) pooled features.
@@ -150,10 +154,13 @@ def multilevel_roi_align(
     ss = sampling_ratio
 
     # ---- per-roi level assignment ----
-    area = (rois[:, 2] - rois[:, 0]) * (rois[:, 3] - rois[:, 1])
-    scale = jnp.sqrt(jnp.maximum(area, 0.0))
-    lvl = jnp.floor(jnp.log2(scale / finest_scale + 1e-6))
-    lvl = jnp.clip(lvl, 0, L - 1).astype(jnp.int32)
+    if lvl_override is not None:
+        lvl = lvl_override.astype(jnp.int32)
+    else:
+        area = (rois[:, 2] - rois[:, 0]) * (rois[:, 3] - rois[:, 1])
+        scale = jnp.sqrt(jnp.maximum(area, 0.0))
+        lvl = jnp.floor(jnp.log2(scale / finest_scale + 1e-6))
+        lvl = jnp.clip(lvl, 0, L - 1).astype(jnp.int32)
 
     # ---- flatten the pyramid into one buffer with level offsets ----
     sizes = [f.shape[1] * f.shape[2] for f in features]  # H_l * W_l

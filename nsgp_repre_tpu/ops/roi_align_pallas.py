@@ -87,34 +87,35 @@ def _axis_weights(lo, span, origin, out_size, ss, limit):
     return m.reshape(R, out_size, ss, WIN).sum(axis=2)
 
 
-def _route_and_weights(
+def route_levels(
     rois: jnp.ndarray,
-    batch_idx: jnp.ndarray,
     level_hw: Sequence[Tuple[int, int]],
     strides: Sequence[int],
     out_size: int,
     ss: int,
     finest_scale: float,
-    aligned: bool = True,
-):
-    """Level routing (+ window-fit bump), window origins, weight mats."""
+) -> jnp.ndarray:
+    """Per-RoI FPN level with the window-fit bump.
+
+    Standard mmdet routing (floor(log2(sqrt(area)/finest_scale))), then
+    bump to a coarser level until the sample span fits the window:
+    samples cover (out - 1/ss)/out of the roi extent per axis, plus the
+    bilinear +1 neighbor, the -1 origin margin, and the x-origin
+    alignment slack (HBM tiling: DMA slice starts in the W dim must be
+    X_ALIGN-aligned). A level whose map already fits inside the window
+    always works (indices are clamped into the map, mmcv
+    outside-zeroing applies).
+
+    Exposed so the backward pass (and parity tests) can reproduce the
+    kernel's routing exactly via ops.roi_align.multilevel_roi_align's
+    ``lvl_override``.
+    """
     L = len(strides)
     area = (rois[:, 2] - rois[:, 0]) * (rois[:, 3] - rois[:, 1])
     scale = jnp.sqrt(jnp.maximum(area, 0.0))
     lvl = jnp.floor(jnp.log2(scale / finest_scale + 1e-6))
     lvl = jnp.clip(lvl, 0, L - 1).astype(jnp.int32)
 
-    stride_tab = jnp.asarray([float(s) for s in strides])
-    h_tab = jnp.asarray([float(h) for h, _ in level_hw])
-    w_tab = jnp.asarray([float(w) for _, w in level_hw])
-
-    # bump to a coarser level until the sample span fits the window:
-    # samples cover (out - 1/ss)/out of the roi extent per axis, plus the
-    # bilinear +1 neighbor, the -1 origin margin, and the x-origin
-    # alignment slack (HBM tiling: DMA slice starts in the W dim must be
-    # X_ALIGN-aligned). A level whose map already fits inside the window
-    # always works (indices are clamped into the map, mmcv
-    # outside-zeroing applies).
     w_img = rois[:, 2] - rois[:, 0]
     h_img = rois[:, 3] - rois[:, 1]
     frac = (out_size - 1.0 / ss) / out_size
@@ -126,7 +127,27 @@ def _route_and_weights(
             & (w_img / s * frac + 3.0 + X_ALIGN <= WIN)
         ) | ((h_l <= WIN) & (w_l <= WIN))
         lvl = jnp.where((lvl == l) & ~fits, l + 1, lvl)
-    lvl = jnp.clip(lvl, 0, L - 1)
+    return jnp.clip(lvl, 0, L - 1)
+
+
+def _route_and_weights(
+    rois: jnp.ndarray,
+    batch_idx: jnp.ndarray,
+    level_hw: Sequence[Tuple[int, int]],
+    strides: Sequence[int],
+    out_size: int,
+    ss: int,
+    finest_scale: float,
+    aligned: bool = True,
+):
+    """Level routing (+ window-fit bump), window origins, weight mats."""
+    lvl = route_levels(rois, level_hw, strides, out_size, ss, finest_scale)
+
+    stride_tab = jnp.asarray([float(s) for s in strides])
+    h_tab = jnp.asarray([float(h) for h, _ in level_hw])
+    w_tab = jnp.asarray([float(w) for _, w in level_hw])
+    w_img = rois[:, 2] - rois[:, 0]
+    h_img = rois[:, 3] - rois[:, 1]
 
     stride = stride_tab[lvl]
     offset = 0.5 if aligned else 0.0
@@ -298,3 +319,249 @@ def multilevel_roi_align_pallas(
         wy.astype(dtype), wx.astype(dtype), *padded,
     )
     return out
+
+
+def multilevel_roi_align_window(
+    features: Sequence[jnp.ndarray],
+    rois: jnp.ndarray,
+    batch_idx: jnp.ndarray,
+    strides: Tuple[int, ...] = (4, 8, 16, 32),
+    output_size: int = 7,
+    sampling_ratio: int = 2,
+    finest_scale: float = 56.0,
+    aligned: bool = True,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Differentiable FPN RoIAlign via the windowed-DMA Pallas kernel.
+
+    Forward: ``multilevel_roi_align_pallas`` (handles roi-count padding
+    to the kernel's per-program tile). Backward: the op is linear in
+    ``features`` with roi-derived constant weights, so the gradient is
+    the VJP of the XLA gather implementation run with this kernel's
+    (window-fit-bumped) level routing — an exact transpose, no Pallas
+    backward needed. RoI/batch-index gradients are zero (the reference
+    CUDA RoIAlign likewise returns no box gradient, and proposals are
+    stop-gradient'd in the detector).
+    """
+    R = rois.shape[0]
+    pad = (-R) % 8  # kernel tiles 8 rois per grid program
+    if pad:
+        rois = jnp.concatenate([rois, jnp.zeros((pad, 4), rois.dtype)])
+        batch_idx = jnp.concatenate(
+            [batch_idx, jnp.zeros((pad,), batch_idx.dtype)]
+        )
+    shapes = tuple((tuple(f.shape), str(f.dtype)) for f in features)
+    out = _window_op(
+        list(features), rois, batch_idx, strides, output_size,
+        sampling_ratio, finest_scale, aligned, interpret, shapes,
+    )
+    return out[:R] if pad else out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9))
+def _window_op(features, rois, batch_idx, strides, output_size,
+               sampling_ratio, finest_scale, aligned, interpret, shapes):
+    return multilevel_roi_align_pallas(
+        features, rois, batch_idx,
+        strides=strides, output_size=output_size,
+        sampling_ratio=sampling_ratio, finest_scale=finest_scale,
+        aligned=aligned, interpret=interpret,
+    )
+
+
+def _window_fwd(features, rois, batch_idx, strides, output_size,
+                sampling_ratio, finest_scale, aligned, interpret, shapes):
+    out = _window_op(
+        features, rois, batch_idx, strides, output_size,
+        sampling_ratio, finest_scale, aligned, interpret, shapes,
+    )
+    return out, (rois, batch_idx)
+
+
+def _window_bwd(strides, output_size, sampling_ratio, finest_scale,
+                aligned, interpret, shapes, res, g):
+    from .roi_align import multilevel_roi_align
+
+    rois, batch_idx = res
+    level_hw = tuple((s[1], s[2]) for s, _ in shapes)
+    lvl = route_levels(
+        rois, level_hw, strides, output_size, sampling_ratio, finest_scale
+    )
+    zeros = [jnp.zeros(s, d) for s, d in shapes]
+
+    def ref(fs):
+        return multilevel_roi_align(
+            fs, rois, batch_idx,
+            strides=strides, output_size=output_size,
+            sampling_ratio=sampling_ratio, finest_scale=finest_scale,
+            aligned=aligned, lvl_override=lvl,
+        )
+
+    # linear in features → the VJP is primal-independent; evaluate at 0
+    _, vjp = jax.vjp(ref, zeros)
+    d_feats = vjp(g.astype(jnp.float32))[0]
+    d_feats = [df.astype(d) for df, (_, d) in zip(d_feats, shapes)]
+    return (
+        d_feats,
+        jnp.zeros_like(rois),
+        np.zeros(batch_idx.shape, jax.dtypes.float0),
+    )
+
+
+_window_op.defvjp(_window_fwd, _window_bwd)
+
+
+# ----------------------------------------------------------------------
+# Pallas backward: windowed read-modify-write accumulation
+# ----------------------------------------------------------------------
+def _roi_bwd_kernel(
+    lvl_ref, b_ref, oy_ref, ox_ref,  # scalar prefetch (R,)
+    wy_ref, wx_ref, g_ref, *rest, T: int, L: int, C: int, out_size: int
+):
+    """Per-roi: window dF += Wy^T @ g @ Wx, via HBM read-modify-write.
+
+    TPU Pallas grid programs run SEQUENTIALLY on the core and each roi
+    is fully serialized (read-wait, accumulate, write-wait), so
+    overlapping windows from different rois cannot race — accumulation
+    order is deterministic (roi order), unlike the nondeterministic
+    atomics of a CUDA scatter-add.
+    """
+    grad_refs = rest[L:2 * L]  # aliased outputs (padded level grads)
+    win = rest[2 * L]
+    sems = rest[2 * L + 1]
+    prog = pl.program_id(0)
+
+    def window_copy(r, l, direction):
+        ox = pl.multiple_of(ox_ref[r], X_ALIGN)
+        hbm = grad_refs[l].at[b_ref[r], pl.ds(oy_ref[r], WIN), pl.ds(ox, WIN), :]
+        if direction == "in":
+            return pltpu.make_async_copy(hbm, win.at[0], sems.at[0])
+        return pltpu.make_async_copy(win.at[0], hbm, sems.at[1])
+
+    for i in range(T):
+        r = prog * T + i
+        for l in range(L):
+            @pl.when(lvl_ref[r] == l)
+            def _():
+                window_copy(r, l, "in").start()
+        for l in range(L):
+            @pl.when(lvl_ref[r] == l)
+            def _():
+                window_copy(r, l, "in").wait()
+
+        g = g_ref[i].astype(jnp.float32)  # (out, out, C)
+        wx = wx_ref[i].astype(jnp.float32)  # (out, WIN)
+        wy = wy_ref[i].astype(jnp.float32)
+        # t2[by, x, c] = sum_bx wx[bx, x] * g[by, bx, c]
+        t2 = jnp.stack(
+            [
+                jnp.dot(wx.T, g[by], preferred_element_type=jnp.float32)
+                for by in range(out_size)
+            ]
+        )  # (out, WIN, C)
+        # G[y, x, c] = sum_by wy[by, y] * t2[by, x, c]
+        G = jnp.dot(
+            wy.T, t2.reshape(out_size, WIN * C),
+            preferred_element_type=jnp.float32,
+        ).reshape(WIN, WIN, C)
+        win[0] = (win[0].astype(jnp.float32) + G).astype(win.dtype)
+
+        for l in range(L):
+            @pl.when(lvl_ref[r] == l)
+            def _():
+                window_copy(r, l, "out").start()
+        for l in range(L):
+            @pl.when(lvl_ref[r] == l)
+            def _():
+                window_copy(r, l, "out").wait()
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("level_hw", "batch_size", "strides", "output_size",
+                     "sampling_ratio", "finest_scale", "aligned", "interpret"),
+)
+def multilevel_roi_align_bwd_pallas(
+    g: jnp.ndarray,
+    rois: jnp.ndarray,
+    batch_idx: jnp.ndarray,
+    level_hw: Tuple[Tuple[int, int], ...],
+    batch_size: int,
+    strides: Tuple[int, ...] = (4, 8, 16, 32),
+    output_size: int = 7,
+    sampling_ratio: int = 2,
+    finest_scale: float = 56.0,
+    aligned: bool = True,
+    interpret: bool = False,
+):
+    """Gradient w.r.t. the feature pyramid for the window forward.
+
+    Returns a list of (B, H_l, W_l, C) grads matching ``level_hw``.
+    """
+    L = len(strides)
+    C = g.shape[-1]
+    R = rois.shape[0]
+    T = 8
+    assert R % T == 0, f"roi count {R} must be a multiple of {T}"
+    dtype = g.dtype
+
+    lvl, oy, ox, wy, wx = _route_and_weights(
+        rois, batch_idx, level_hw, strides, output_size, sampling_ratio,
+        finest_scale, aligned,
+    )
+    pad_hw = [
+        (max(WIN, h), max(WIN, -(-w // X_ALIGN) * X_ALIGN))
+        for h, w in level_hw
+    ]
+    zeros = [
+        jnp.zeros((batch_size, ph, pw, C), dtype) for ph, pw in pad_hw
+    ]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(R // T,),
+        in_specs=[
+            pl.BlockSpec(
+                (T, output_size, WIN), lambda gg, *_: (gg, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (T, output_size, WIN), lambda gg, *_: (gg, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (T, output_size, output_size, C),
+                lambda gg, *_: (gg, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ]
+        + [pl.BlockSpec(memory_space=pltpu.ANY) for _ in range(L)],
+        out_specs=[pl.BlockSpec(memory_space=pltpu.ANY) for _ in range(L)],
+        scratch_shapes=[
+            pltpu.VMEM((1, WIN, WIN, C), dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    kernel = functools.partial(
+        _roi_bwd_kernel, T=T, L=L, C=C, out_size=output_size
+    )
+    # inputs (after the 4 scalar-prefetch operands): wy, wx, g, then the
+    # L pre-zeroed grad buffers — each aliased to its output so the
+    # kernel accumulates in place
+    aliases = {4 + 3 + l: l for l in range(L)}
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((batch_size, ph, pw, C), dtype)
+            for ph, pw in pad_hw
+        ],
+        input_output_aliases=aliases,
+        interpret=interpret,
+    )(
+        lvl, batch_idx.astype(jnp.int32), oy, ox,
+        wy.astype(dtype), wx.astype(dtype), g, *zeros,
+    )
+    return [
+        o[:, : hw[0], : hw[1], :] for o, hw in zip(out, level_hw)
+    ]

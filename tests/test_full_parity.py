@@ -67,6 +67,7 @@ def test_full_detector_box_parity():
         rpn_max_per_img=16,
         max_per_img=8,
         use_approx_topk=False,
+        roi_align_mode="gather",  # reference-exact level routing
     )
     model = FasterRCNN(config=cfg)
     img = np.random.RandomState(1).randn(64, 64, 3).astype(np.float32)

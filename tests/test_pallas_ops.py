@@ -27,6 +27,94 @@ def test_nms_pallas_matches_xla_interpret():
         )
 
 
+def _roi_fixture(seed=0, B=2, C=32, R=16, canvas=(256, 384)):
+    """FPN pyramid + a roi mix spanning all levels (none window-bumped)."""
+    rng = np.random.RandomState(seed)
+    H, W = canvas
+    strides = (4, 8, 16, 32)
+    feats = [
+        jnp.asarray(rng.randn(B, H // s, W // s, C).astype(np.float32))
+        for s in strides
+    ]
+    # sides 20..160 px → levels 0..2 plus clamped-small maps at 3
+    x1 = rng.uniform(0, W - 170, R).astype(np.float32)
+    y1 = rng.uniform(0, H - 170, R).astype(np.float32)
+    side_w = rng.uniform(20, 160, R).astype(np.float32)
+    side_h = rng.uniform(20, 160, R).astype(np.float32)
+    rois = jnp.asarray(np.stack([x1, y1, x1 + side_w, y1 + side_h], -1))
+    bidx = jnp.asarray(rng.randint(0, B, R).astype(np.int32))
+    return feats, rois, bidx, strides
+
+
+def test_roi_align_window_interpret_parity():
+    """Pallas windowed RoIAlign == XLA gather path with the kernel's own
+    level routing (bit-level bilinear semantics, all levels exercised)."""
+    from nsgp_repre_tpu.ops.roi_align import multilevel_roi_align
+    from nsgp_repre_tpu.ops.roi_align_pallas import (
+        multilevel_roi_align_window,
+        route_levels,
+    )
+
+    feats, rois, bidx, strides = _roi_fixture()
+    out_p = multilevel_roi_align_window(
+        feats, rois, bidx, strides=strides, interpret=True
+    )
+    lvl = route_levels(
+        rois, tuple((f.shape[1], f.shape[2]) for f in feats), strides, 7, 2, 56.0
+    )
+    out_x = multilevel_roi_align(
+        feats, rois, bidx, strides=strides, lvl_override=lvl
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_p), np.asarray(out_x), rtol=1e-4, atol=1e-4
+    )
+    # routing only deviates from mmdet when a window would not fit —
+    # none of these rois bump
+    base = multilevel_roi_align(feats, rois, bidx, strides=strides)
+    np.testing.assert_allclose(
+        np.asarray(out_p), np.asarray(base), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_roi_align_window_grad_and_padding():
+    """custom-VJP backward is the exact transpose; roi-count padding to
+    the kernel tile is transparent."""
+    from nsgp_repre_tpu.ops.roi_align import multilevel_roi_align
+    from nsgp_repre_tpu.ops.roi_align_pallas import (
+        multilevel_roi_align_window,
+        route_levels,
+    )
+
+    feats, rois, bidx, strides = _roi_fixture(seed=1, R=13)  # non-multiple of 8
+    cot = jnp.asarray(
+        np.random.RandomState(2).randn(13, 7, 7, 32).astype(np.float32)
+    )
+
+    def f_win(fs):
+        out = multilevel_roi_align_window(
+            fs, rois, bidx, strides=strides, interpret=True
+        )
+        return (out * cot).sum()
+
+    lvl = route_levels(
+        rois, tuple((f.shape[1], f.shape[2]) for f in feats), strides, 7, 2, 56.0
+    )
+
+    def f_ref(fs):
+        out = multilevel_roi_align(
+            fs, rois, bidx, strides=strides, lvl_override=lvl
+        )
+        return (out * cot).sum()
+
+    v_win, g_win = jax.value_and_grad(f_win)(feats)
+    v_ref, g_ref = jax.value_and_grad(f_ref)(feats)
+    np.testing.assert_allclose(float(v_win), float(v_ref), rtol=1e-4)
+    for gw, gr in zip(g_win, g_ref):
+        np.testing.assert_allclose(
+            np.asarray(gw), np.asarray(gr), rtol=1e-4, atol=1e-4
+        )
+
+
 def test_visualizer_draws():
     from nsgp_repre_tpu.visualization import draw_detections
 
