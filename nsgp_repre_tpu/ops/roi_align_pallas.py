@@ -384,6 +384,21 @@ def _window_bwd(strides, output_size, sampling_ratio, finest_scale,
 
     rois, batch_idx = res
     level_hw = tuple((s[1], s[2]) for s, _ in shapes)
+    if not interpret and jax.default_backend() != "cpu":
+        # Pallas read-modify-write window accumulation: 2.5x the XLA
+        # scatter transpose (46.6 vs 118.3 ms at R=8192, C=256, bf16)
+        d_feats = multilevel_roi_align_bwd_pallas(
+            g, rois, batch_idx, level_hw, shapes[0][0][0],
+            strides=strides, output_size=output_size,
+            sampling_ratio=sampling_ratio, finest_scale=finest_scale,
+            aligned=aligned,
+        )
+        d_feats = [df.astype(d) for df, (_, d) in zip(d_feats, shapes)]
+        return (
+            d_feats,
+            jnp.zeros_like(rois),
+            np.zeros(batch_idx.shape, jax.dtypes.float0),
+        )
     lvl = route_levels(
         rois, level_hw, strides, output_size, sampling_ratio, finest_scale
     )

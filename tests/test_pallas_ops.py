@@ -115,6 +115,45 @@ def test_roi_align_window_grad_and_padding():
         )
 
 
+def test_roi_align_bwd_pallas_interpret_parity():
+    """Pallas read-modify-write backward == the XLA scatter transpose,
+    all four levels receiving gradient."""
+    from nsgp_repre_tpu.ops.roi_align import multilevel_roi_align
+    from nsgp_repre_tpu.ops.roi_align_pallas import (
+        multilevel_roi_align_bwd_pallas,
+        route_levels,
+    )
+
+    feats, rois, bidx, strides = _roi_fixture(seed=3)
+    # add big rois so levels 2-3 are exercised too (sqrt(area) >= 224)
+    big = jnp.asarray(
+        [[0.0, 0.0, 230.0, 240.0], [10.0, 5.0, 370.0, 250.0]] * 4,
+        jnp.float32,
+    )
+    rois = jnp.concatenate([rois[:8], big])
+    level_hw = tuple((f.shape[1], f.shape[2]) for f in feats)
+    lvl = route_levels(rois, level_hw, strides, 7, 2, 56.0)
+    assert int(lvl.max()) >= 2
+    g = jnp.asarray(
+        np.random.RandomState(4).randn(16, 7, 7, 32).astype(np.float32)
+    )
+
+    def ref(fs):
+        return multilevel_roi_align(
+            fs, rois, bidx, strides=strides, lvl_override=lvl
+        )
+
+    _, vjp = jax.vjp(ref, feats)
+    g_ref = vjp(g)[0]
+    g_pal = multilevel_roi_align_bwd_pallas(
+        g, rois, bidx, level_hw, 2, strides=strides, interpret=True
+    )
+    for a, b in zip(g_pal, g_ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4
+        )
+
+
 def test_visualizer_draws():
     from nsgp_repre_tpu.visualization import draw_detections
 
