@@ -112,6 +112,9 @@ class FasterRCNNC4(FasterRCNN):
         return cls_maps, reg_maps
 
     def _roi_feats(self, feats, rois, batch_idx):
+        # always the XLA gather path: with a single stride-16 level there
+        # is no coarser level to bump to, so the Pallas window kernel's
+        # fit guarantee does not hold for near-canvas-sized rois
         from ..ops.roi_align import multilevel_roi_align
 
         cfg = self.config

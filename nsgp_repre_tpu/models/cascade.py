@@ -338,12 +338,13 @@ class CascadeMaskRCNN(CascadeRCNN):
         return out
 
     def _mask_roi_feats(self, feats, rois, batch_idx):
-        from ..ops.roi_align import multilevel_roi_align
+        from ..ops.roi_align import multilevel_roi_align_auto
 
         cfg: CascadeMaskConfig = self.config
         fs = [f.astype(self._dtype) for f in feats[: len(cfg.roi_strides)]]
-        return multilevel_roi_align(
+        return multilevel_roi_align_auto(
             fs, rois, batch_idx,
+            mode=cfg.roi_align_mode,
             strides=cfg.roi_strides,
             output_size=cfg.mask_roi_out_size,
             sampling_ratio=cfg.roi_sampling_ratio,

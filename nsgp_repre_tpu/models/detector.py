@@ -37,7 +37,7 @@ from ..ops.topk import fast_top_k
 def _use_pallas() -> bool:
     """Pallas kernels run on real TPU backends; CPU tests use XLA NMS."""
     return jax.default_backend() not in ("cpu",)
-from ..ops.roi_align import multilevel_roi_align
+from ..ops.roi_align import multilevel_roi_align, multilevel_roi_align_auto  # noqa: F401
 from ..structures.boxes import bbox2delta, bbox_clip, bbox_overlaps, delta2bbox
 from ..structures.sample import DetBatch, InstanceArray
 from .assigners import max_iou_assign
@@ -371,24 +371,14 @@ class FasterRCNN(nn.Module):
         """
         cfg = self.config
         fs = [f.astype(self._dtype) for f in feats[: len(cfg.roi_strides)]]
-        if cfg.roi_align_mode == "window" and _use_pallas():
-            from ..ops.roi_align_pallas import multilevel_roi_align_window
-
-            out = multilevel_roi_align_window(
-                fs, rois, batch_idx,
-                strides=cfg.roi_strides,
-                output_size=cfg.roi_out_size,
-                sampling_ratio=cfg.roi_sampling_ratio,
-                finest_scale=cfg.roi_finest_scale,
-            )
-        else:
-            out = multilevel_roi_align(
-                fs, rois, batch_idx,
-                strides=cfg.roi_strides,
-                output_size=cfg.roi_out_size,
-                sampling_ratio=cfg.roi_sampling_ratio,
-                finest_scale=cfg.roi_finest_scale,
-            )
+        out = multilevel_roi_align_auto(
+            fs, rois, batch_idx,
+            mode=cfg.roi_align_mode,
+            strides=cfg.roi_strides,
+            output_size=cfg.roi_out_size,
+            sampling_ratio=cfg.roi_sampling_ratio,
+            finest_scale=cfg.roi_finest_scale,
+        )
         return out.astype(self._dtype)
 
     def roi_loss(self, feats, proposals, gt, rng,

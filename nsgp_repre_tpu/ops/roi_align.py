@@ -121,6 +121,26 @@ def roi_align(
     return sampled.mean(axis=(2, 4))
 
 
+def multilevel_roi_align_auto(
+    features: Sequence[jnp.ndarray],
+    rois: jnp.ndarray,
+    batch_idx: jnp.ndarray,
+    mode: str = "window",
+    **kw,
+) -> jnp.ndarray:
+    """Backend dispatch: ``mode='window'`` uses the Pallas windowed-DMA
+    kernel (ops/roi_align_pallas.py) on TPU backends; ``'gather'`` (or
+    any CPU backend) uses the packed XLA gather below with
+    reference-exact level routing."""
+    import jax
+
+    if mode == "window" and jax.default_backend() != "cpu":
+        from .roi_align_pallas import multilevel_roi_align_window
+
+        return multilevel_roi_align_window(features, rois, batch_idx, **kw)
+    return multilevel_roi_align(features, rois, batch_idx, **kw)
+
+
 def multilevel_roi_align(
     features: Sequence[jnp.ndarray],
     rois: jnp.ndarray,
