@@ -430,39 +430,52 @@ _window_op.defvjp(_window_fwd, _window_bwd)
 # Pallas backward: windowed read-modify-write accumulation
 # ----------------------------------------------------------------------
 def _roi_bwd_kernel(
-    lvl_ref, b_ref, oy_ref, ox_ref,  # scalar prefetch (R,)
+    lvl_ref, b_ref, oy_ref, ox_ref, safe_ref,  # scalar prefetch (R,)
     wy_ref, wx_ref, g_ref, *rest, T: int, L: int, C: int, out_size: int
 ):
     """Per-roi: window dF += Wy^T @ g @ Wx, via HBM read-modify-write.
 
-    TPU Pallas grid programs run SEQUENTIALLY on the core and each roi
-    is fully serialized (read-wait, accumulate, write-wait), so
+    TPU Pallas grid programs run SEQUENTIALLY on the core and writes are
+    serialized (one in flight, waited before the next roi's write), so
     overlapping windows from different rois cannot race — accumulation
     order is deterministic (roi order), unlike the nondeterministic
     atomics of a CUDA scatter-add.
+
+    Overlap structure: G_i depends only on (wy, wx, g) — never on the
+    window — so it is computed while roi i's read is still in flight;
+    and roi i+1's read (into the other VMEM slot) is started concurrently
+    with roi i's write whenever the two windows are provably disjoint
+    (``safe_ref``, precomputed host-side), falling back to
+    read-after-write for overlapping neighbors.
     """
     grad_refs = rest[L:2 * L]  # aliased outputs (padded level grads)
-    win = rest[2 * L]
+    win = rest[2 * L]  # (2, WIN, WIN, C) slots
     sems = rest[2 * L + 1]
     prog = pl.program_id(0)
 
-    def window_copy(r, l, direction):
+    def window_copy(r, l, slot, direction):
         ox = pl.multiple_of(ox_ref[r], X_ALIGN)
         hbm = grad_refs[l].at[b_ref[r], pl.ds(oy_ref[r], WIN), pl.ds(ox, WIN), :]
         if direction == "in":
-            return pltpu.make_async_copy(hbm, win.at[0], sems.at[0])
-        return pltpu.make_async_copy(win.at[0], hbm, sems.at[1])
+            return pltpu.make_async_copy(hbm, win.at[slot], sems.at[0])
+        return pltpu.make_async_copy(win.at[slot], hbm, sems.at[1])
 
+    def start_in(r, slot):
+        for l in range(L):
+            @pl.when(lvl_ref[r] == l)
+            def _():
+                window_copy(r, l, slot, "in").start()
+
+    def dma_each(r, slot, direction, op):
+        for l in range(L):
+            @pl.when(lvl_ref[r] == l)
+            def _():
+                getattr(window_copy(r, l, slot, direction), op)()
+
+    start_in(prog * T, 0)
     for i in range(T):
+        s = i % 2
         r = prog * T + i
-        for l in range(L):
-            @pl.when(lvl_ref[r] == l)
-            def _():
-                window_copy(r, l, "in").start()
-        for l in range(L):
-            @pl.when(lvl_ref[r] == l)
-            def _():
-                window_copy(r, l, "in").wait()
 
         g = g_ref[i].astype(jnp.float32)  # (out, out, C)
         wx = wx_ref[i].astype(jnp.float32)  # (out, WIN)
@@ -479,16 +492,19 @@ def _roi_bwd_kernel(
             wy.T, t2.reshape(out_size, WIN * C),
             preferred_element_type=jnp.float32,
         ).reshape(WIN, WIN, C)
-        win[0] = (win[0].astype(jnp.float32) + G).astype(win.dtype)
 
-        for l in range(L):
-            @pl.when(lvl_ref[r] == l)
+        dma_each(r, s, "in", "wait")
+        win[s] = (win[s].astype(jnp.float32) + G).astype(win.dtype)
+        dma_each(r, s, "out", "start")
+        if i + 1 < T:
+            @pl.when(safe_ref[r + 1] != 0)
             def _():
-                window_copy(r, l, "out").start()
-        for l in range(L):
-            @pl.when(lvl_ref[r] == l)
+                start_in(r + 1, 1 - s)  # concurrent with the write
+        dma_each(r, s, "out", "wait")
+        if i + 1 < T:
+            @pl.when(safe_ref[r + 1] == 0)
             def _():
-                window_copy(r, l, "out").wait()
+                start_in(r + 1, 1 - s)  # read-after-write (overlap)
 
 
 @functools.partial(
@@ -524,6 +540,19 @@ def multilevel_roi_align_bwd_pallas(
         rois, batch_idx, level_hw, strides, output_size, sampling_ratio,
         finest_scale, aligned,
     )
+    # prefetch-safety flags: roi r's window read may overlap roi r-1's
+    # in-flight window write only on the same level map of the same
+    # image with intersecting (WIN, WIN) rectangles
+    bidx32 = batch_idx.astype(jnp.int32)
+    overlap = (
+        (lvl[1:] == lvl[:-1])
+        & (bidx32[1:] == bidx32[:-1])
+        & (jnp.abs(oy[1:] - oy[:-1]) < WIN)
+        & (jnp.abs(ox[1:] - ox[:-1]) < WIN)
+    )
+    safe = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), (~overlap).astype(jnp.int32)]
+    )
     pad_hw = [
         (max(WIN, h), max(WIN, -(-w // X_ALIGN) * X_ALIGN))
         for h, w in level_hw
@@ -533,7 +562,7 @@ def multilevel_roi_align_bwd_pallas(
     ]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=5,
         grid=(R // T,),
         in_specs=[
             pl.BlockSpec(
@@ -553,17 +582,17 @@ def multilevel_roi_align_bwd_pallas(
         + [pl.BlockSpec(memory_space=pltpu.ANY) for _ in range(L)],
         out_specs=[pl.BlockSpec(memory_space=pltpu.ANY) for _ in range(L)],
         scratch_shapes=[
-            pltpu.VMEM((1, WIN, WIN, C), dtype),
+            pltpu.VMEM((2, WIN, WIN, C), dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     kernel = functools.partial(
         _roi_bwd_kernel, T=T, L=L, C=C, out_size=output_size
     )
-    # inputs (after the 4 scalar-prefetch operands): wy, wx, g, then the
+    # inputs (after the 5 scalar-prefetch operands): wy, wx, g, then the
     # L pre-zeroed grad buffers — each aliased to its output so the
     # kernel accumulates in place
-    aliases = {4 + 3 + l: l for l in range(L)}
+    aliases = {5 + 3 + l: l for l in range(L)}
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -574,7 +603,7 @@ def multilevel_roi_align_bwd_pallas(
         input_output_aliases=aliases,
         interpret=interpret,
     )(
-        lvl, batch_idx.astype(jnp.int32), oy, ox,
+        lvl, bidx32, oy, ox, safe,
         wy.astype(dtype), wx.astype(dtype), g, *zeros,
     )
     return [
