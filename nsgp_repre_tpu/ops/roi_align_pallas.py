@@ -495,16 +495,23 @@ def _roi_bwd_kernel(
 
         dma_each(r, s, "in", "wait")
         win[s] = (win[s].astype(jnp.float32) + G).astype(win.dtype)
+        if i > 0:
+            # out(r-1) is still in flight iff roi r's read was a safe
+            # prefetch (the unsafe branch below already drained it)
+            @pl.when(safe_ref[r] != 0)
+            def _():
+                dma_each(r - 1, 1 - s, "out", "wait")
         dma_each(r, s, "out", "start")
         if i + 1 < T:
             @pl.when(safe_ref[r + 1] != 0)
             def _():
                 start_in(r + 1, 1 - s)  # concurrent with the write
-        dma_each(r, s, "out", "wait")
-        if i + 1 < T:
             @pl.when(safe_ref[r + 1] == 0)
             def _():
+                dma_each(r, s, "out", "wait")
                 start_in(r + 1, 1 - s)  # read-after-write (overlap)
+        else:
+            dma_each(r, s, "out", "wait")  # drain before program end
 
 
 @functools.partial(
