@@ -244,25 +244,53 @@ class FasterRCNN(nn.Module):
 
         losses = {}
         if with_loss:
-            def one_image(gt_boxes, gt_valid, shape, key):
-                valid = self._anchor_valid(sizes, shape)
-                assigned, _ = max_iou_assign(
-                    anchors, gt_boxes, gt_valid,
-                    cfg.rpn_pos_iou_thr, cfg.rpn_neg_iou_thr, cfg.rpn_min_pos_iou,
-                    match_low_quality=True, prior_valid=valid,
-                )
-                pos, neg = random_sample_masks(key, assigned, cfg.rpn_num, cfg.rpn_pos_fraction)
-                g = jnp.clip(assigned, 0)
-                # per-anchor matched-gt boxes via one-hot matmul: a 155k-row
-                # gather is ~40 ms/batch on TPU; the (N, G) @ (G, 4) matmul
-                # is sub-ms on the MXU
-                onehot = jax.nn.one_hot(g, gt_boxes.shape[0], dtype=jnp.float32)
-                matched = onehot @ gt_boxes
-                tgt = bbox2delta(anchors, matched)
-                return pos, neg, tgt
-
             keys = jax.random.split(rng, B)
-            pos, neg, tgt = jax.vmap(one_image)(gt.boxes, gt.valid, img_shape, keys)
+            if _use_pallas():
+                # fused Pallas assign+targets: never materializes the
+                # (G, N) IoU / one-hot intermediates in HBM
+                from ..ops.assign_pallas import rpn_assign_targets_pallas
+
+                valid = jax.vmap(lambda s: self._anchor_valid(sizes, s))(
+                    img_shape
+                )
+                assigned, _, tgt = rpn_assign_targets_pallas(
+                    anchors, gt.boxes, gt.valid, valid,
+                    cfg.rpn_pos_iou_thr, cfg.rpn_neg_iou_thr,
+                    cfg.rpn_min_pos_iou,
+                )
+                assigned = jax.lax.stop_gradient(assigned)
+                tgt = jax.lax.stop_gradient(tgt)
+                pos, neg = jax.vmap(
+                    lambda a, k: random_sample_masks(
+                        k, a, cfg.rpn_num, cfg.rpn_pos_fraction
+                    )
+                )(assigned, keys)
+            else:
+                def one_image(gt_boxes, gt_valid, shape, key):
+                    valid = self._anchor_valid(sizes, shape)
+                    assigned, _ = max_iou_assign(
+                        anchors, gt_boxes, gt_valid,
+                        cfg.rpn_pos_iou_thr, cfg.rpn_neg_iou_thr,
+                        cfg.rpn_min_pos_iou,
+                        match_low_quality=True, prior_valid=valid,
+                    )
+                    pos, neg = random_sample_masks(
+                        key, assigned, cfg.rpn_num, cfg.rpn_pos_fraction
+                    )
+                    g = jnp.clip(assigned, 0)
+                    # per-anchor matched-gt boxes via one-hot matmul: a
+                    # 155k-row gather is ~40 ms/batch on TPU; the
+                    # (N, G) @ (G, 4) matmul is sub-ms on the MXU
+                    onehot = jax.nn.one_hot(
+                        g, gt_boxes.shape[0], dtype=jnp.float32
+                    )
+                    matched = onehot @ gt_boxes
+                    tgt = bbox2delta(anchors, matched)
+                    return pos, neg, tgt
+
+                pos, neg, tgt = jax.vmap(one_image)(
+                    gt.boxes, gt.valid, img_shape, keys
+                )
             label_w = (pos | neg).astype(jnp.float32)
             avg = jnp.maximum(label_w.sum(), 1.0)
             losses["loss_rpn_cls"] = weighted_sigmoid_bce(

@@ -154,6 +154,52 @@ def test_roi_align_bwd_pallas_interpret_parity():
         )
 
 
+def test_rpn_assign_pallas_matches_xla_interpret():
+    """Fused assign+targets kernel == max_iou_assign + one-hot matmul +
+    bbox2delta, including low-quality claims, ties, padded gts and
+    invalid anchors."""
+    from nsgp_repre_tpu.models.assigners import max_iou_assign
+    from nsgp_repre_tpu.ops.assign_pallas import rpn_assign_targets_pallas
+    from nsgp_repre_tpu.structures.boxes import bbox2delta
+
+    rng = np.random.RandomState(0)
+    B, G, N = 3, 5, 700
+    xy = rng.uniform(0, 80, (N, 2)).astype(np.float32)
+    wh = rng.uniform(4, 40, (N, 2)).astype(np.float32)
+    anchors = jnp.asarray(np.concatenate([xy, xy + wh], -1))
+    gxy = rng.uniform(0, 80, (B, G, 2)).astype(np.float32)
+    gwh = rng.uniform(4, 50, (B, G, 2)).astype(np.float32)
+    gt_boxes = jnp.asarray(np.concatenate([gxy, gxy + gwh], -1))
+    # duplicate a gt-box to force exact IoU ties in the claim logic
+    gt_boxes = gt_boxes.at[:, 1].set(gt_boxes[:, 0])
+    gt_valid = jnp.asarray(rng.rand(B, G) > 0.3)
+    prior_valid = jnp.asarray(rng.rand(B, N) > 0.1)
+
+    assigned_p, maxov_p, tgt_p = rpn_assign_targets_pallas(
+        anchors, gt_boxes, gt_valid, prior_valid, 0.7, 0.3, 0.3,
+        interpret=True,
+    )
+
+    def one(gb, gv, pv):
+        assigned, maxov = max_iou_assign(
+            anchors, gb, gv, 0.7, 0.3, 0.3,
+            match_low_quality=True, prior_valid=pv,
+        )
+        g = jnp.clip(assigned, 0)
+        onehot = jax.nn.one_hot(g, G, dtype=jnp.float32)
+        tgt = bbox2delta(anchors, onehot @ gb)
+        return assigned, maxov, tgt
+
+    assigned_x, maxov_x, tgt_x = jax.vmap(one)(gt_boxes, gt_valid, prior_valid)
+    np.testing.assert_array_equal(np.asarray(assigned_p), np.asarray(assigned_x))
+    np.testing.assert_allclose(
+        np.asarray(maxov_p), np.asarray(maxov_x), rtol=1e-6, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(tgt_p), np.asarray(tgt_x), rtol=1e-4, atol=1e-5
+    )
+
+
 def test_visualizer_draws():
     from nsgp_repre_tpu.visualization import draw_detections
 
