@@ -37,7 +37,7 @@ from ..ops.topk import fast_top_k
 def _use_pallas() -> bool:
     """Pallas kernels run on real TPU backends; CPU tests use XLA NMS."""
     return jax.default_backend() not in ("cpu",)
-from ..ops.roi_align import multilevel_roi_align, multilevel_roi_align_auto  # noqa: F401
+from ..ops.roi_align import multilevel_roi_align_auto
 from ..structures.boxes import bbox2delta, bbox_clip, bbox_overlaps, delta2bbox
 from ..structures.sample import DetBatch, InstanceArray
 from .assigners import max_iou_assign

@@ -149,10 +149,15 @@ def rpn_assign_targets_pallas(
     """
     B, G = gt_valid.shape
     N = anchors.shape[0]
-    S, L = 8, 2048
+    Gp = max(8, -(-G // 8) * 8)
+    # tile so the ~6 live (Gp, S, L) f32 intermediates stay under the
+    # 16 MB scoped-VMEM limit (task>=2 appends teacher pseudo-label
+    # slots to the gt capacity, so Gp can reach ~136)
+    S = 8
+    budget = 14 << 20
+    L = min(2048, max(128, (budget // (Gp * S * 4 * 6)) // 128 * 128))
     T = S * L  # anchors per tile
     Np = -(-N // T) * T
-    Gp = max(8, -(-G // 8) * 8)
     n_tiles = Np // T
 
     a = jnp.pad(anchors.astype(jnp.float32), ((0, Np - N), (0, 0)))
