@@ -112,9 +112,12 @@ def nms_pallas(
         valid = jnp.pad(valid, ((0, 0), (0, pad)))
     masked_scores = jnp.where(valid, scores, NEG_INF).astype(jnp.float32)
 
-    # images per program: as many as fit a ~16 MB VMEM budget (7 f32
-    # arrays of (G, Np) live in VMEM), and a divisor of B
-    budget = (16 << 20) // (7 * 4 * Np)
+    # images per program: as many as fit a ~14 MB VMEM budget counting
+    # the 7 named (G, Np) f32 buffers PLUS ~6 loop-body temporaries
+    # (iou/inter/iw/ih/suppress), and a divisor of B — headroom below
+    # the 16 MB scoped-VMEM limit matters for multiclass NMS where
+    # Np = max_per_img * num_classes can reach ~70k
+    budget = (14 << 20) // (13 * 4 * Np)
     G = max(1, min(B, budget))
     while B % G:
         G -= 1

@@ -295,7 +295,7 @@ def multilevel_roi_align_pallas(
                 memory_space=pltpu.VMEM,
             ),
         ]
-        + [pl.BlockSpec(memory_space=pltpu.ANY) for _ in range(L)],
+        + [pl.BlockSpec(memory_space=pl.ANY) for _ in range(L)],
         out_specs=pl.BlockSpec(
             (T, output_size, output_size, C),
             lambda g, *_: (g, 0, 0, 0),
@@ -337,11 +337,13 @@ def multilevel_roi_align_window(
     Forward: ``multilevel_roi_align_pallas`` (handles roi-count padding
     to the kernel's per-program tile). Backward: the op is linear in
     ``features`` with roi-derived constant weights, so the gradient is
+    an exact linear transpose — on TPU backends it runs as a second
+    Pallas kernel (``multilevel_roi_align_bwd_pallas``, sequential
+    read-modify-write window accumulation); CPU/interpret fall back to
     the VJP of the XLA gather implementation run with this kernel's
-    (window-fit-bumped) level routing — an exact transpose, no Pallas
-    backward needed. RoI/batch-index gradients are zero (the reference
-    CUDA RoIAlign likewise returns no box gradient, and proposals are
-    stop-gradient'd in the detector).
+    (window-fit-bumped) level routing. RoI/batch-index gradients are
+    zero (the reference CUDA RoIAlign likewise returns no box gradient,
+    and proposals are stop-gradient'd in the detector).
     """
     R = rois.shape[0]
     pad = (-R) % 8  # kernel tiles 8 rois per grid program
@@ -541,7 +543,13 @@ def multilevel_roi_align_bwd_pallas(
     R = rois.shape[0]
     T = 8
     assert R % T == 0, f"roi count {R} must be a multiple of {T}"
-    dtype = g.dtype
+    # grads accumulate in f32 regardless of the compute dtype: up to
+    # thousands of overlapping windows add into one cell, and bf16
+    # re-rounding after every roi would swallow small contributions
+    # (the reference CUDA backward atomicAdds into f32 grads under AMP
+    # too). Callers cast the result back to the feature dtype.
+    dtype = jnp.float32
+    g = g.astype(jnp.float32)
 
     lvl, oy, ox, wy, wx = _route_and_weights(
         rois, batch_idx, level_hw, strides, output_size, sampling_ratio,
@@ -586,8 +594,8 @@ def multilevel_roi_align_bwd_pallas(
                 memory_space=pltpu.VMEM,
             ),
         ]
-        + [pl.BlockSpec(memory_space=pltpu.ANY) for _ in range(L)],
-        out_specs=[pl.BlockSpec(memory_space=pltpu.ANY) for _ in range(L)],
+        + [pl.BlockSpec(memory_space=pl.ANY) for _ in range(L)],
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY) for _ in range(L)],
         scratch_shapes=[
             pltpu.VMEM((2, WIN, WIN, C), dtype),
             pltpu.SemaphoreType.DMA((2,)),
