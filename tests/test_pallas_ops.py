@@ -200,6 +200,41 @@ def test_rpn_assign_pallas_matches_xla_interpret():
     )
 
 
+def test_rpn_assign_pallas_large_gt_capacity():
+    """task>=2 appends teacher pseudo-label slots to the gt capacity
+    (G~=132): the kernel must shrink its lane tile to stay under the
+    scoped-VMEM limit and still match the XLA path (regression for the
+    Gp=136 compile-time OOM)."""
+    from nsgp_repre_tpu.models.assigners import max_iou_assign
+    from nsgp_repre_tpu.ops.assign_pallas import rpn_assign_targets_pallas
+
+    rng = np.random.RandomState(1)
+    B, G, N = 2, 132, 3000
+    xy = rng.uniform(0, 600, (N, 2)).astype(np.float32)
+    wh = rng.uniform(4, 200, (N, 2)).astype(np.float32)
+    anchors = jnp.asarray(np.concatenate([xy, xy + wh], -1))
+    gxy = rng.uniform(0, 600, (B, G, 2)).astype(np.float32)
+    gwh = rng.uniform(4, 200, (B, G, 2)).astype(np.float32)
+    gt_boxes = jnp.asarray(np.concatenate([gxy, gxy + gwh], -1))
+    gt_valid = jnp.asarray(rng.rand(B, G) > 0.4)
+    prior_valid = jnp.ones((B, N), bool)
+
+    assigned_p, maxov_p, _ = rpn_assign_targets_pallas(
+        anchors, gt_boxes, gt_valid, prior_valid, 0.7, 0.3, 0.3,
+        interpret=True,
+    )
+    assigned_x, maxov_x = jax.vmap(
+        lambda gb, gv, pv: max_iou_assign(
+            anchors, gb, gv, 0.7, 0.3, 0.3,
+            match_low_quality=True, prior_valid=pv,
+        )
+    )(gt_boxes, gt_valid, prior_valid)
+    np.testing.assert_array_equal(np.asarray(assigned_p), np.asarray(assigned_x))
+    np.testing.assert_allclose(
+        np.asarray(maxov_p), np.asarray(maxov_x), rtol=1e-6, atol=1e-6
+    )
+
+
 def test_visualizer_draws():
     from nsgp_repre_tpu.visualization import draw_detections
 
