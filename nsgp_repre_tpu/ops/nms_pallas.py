@@ -30,41 +30,64 @@ BIG_IDX = 1 << 30
 
 
 def _nms_kernel(x1_ref, y1_ref, x2_ref, y2_ref, scores_ref, sel_ref, live_ref,
-                *, iou_threshold: float, max_out: int):
+                *, iou_threshold: float, max_out: int, K: int):
     """One grid program runs greedy NMS for G images SIMULTANEOUSLY.
 
-    All refs are (1, G, N) blocks. Each suppression step does its
-    argmax/IoU/suppress as row-wise (axis=-1, lane) reductions over the
-    (G, N) tile, so one trip through the ``max_out`` loop serves all G
-    images — G× less loop overhead than a program-per-image grid, and
-    full sublane utilization instead of 1/8 (a (1, N) row occupies one
-    sublane of every (8, 128) vreg). Measured 4.6× at B=16, N=5000.
+    All refs are (1, G*K, N/K) blocks: each image's N candidates are
+    folded into K sub-rows so small batches still fill the (8, 128)
+    sublane tiles — a (1, N) row would occupy one sublane of every
+    vreg (1/8 utilization), the dominant cost of batch-1 inference NMS.
+    Each suppression step does its argmax/IoU/suppress as per-image
+    reductions over the (G, K, N/K) view, so one trip through the
+    ``max_out`` loop serves all G images.
     """
-    g, n = scores_ref.shape[1], scores_ref.shape[2]
-    live_ref[:] = scores_ref[0]  # (G, N), pre-masked by caller
+    gk, nk = scores_ref.shape[1], scores_ref.shape[2]
+    g = gk // K
+    live_ref[:] = scores_ref[0]  # (G*K, N/K), pre-masked by caller
     sel_ref[0] = jnp.zeros_like(sel_ref[0])
 
-    x1 = x1_ref[0]
-    y1 = y1_ref[0]
-    x2 = x2_ref[0]
-    y2 = y2_ref[0]
+    if K == 1:
+        # rank-2 fast path (large batches): single lane reductions
+        shape = (gk, nk)
+        view = lambda x: x
+        unview = lambda x: x
+        idx_row = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+
+        def per_image(x, op):
+            return op(x, axis=-1, keepdims=True)  # (G, 1)
+    else:
+        # K sub-rows per image fill the sublane tiles at small batches
+        shape = (g, K, nk)
+        view = lambda x: x.reshape(g, K, nk)
+        unview = lambda x: x.reshape(gk, nk)
+        # global candidate index within each image: subrow * (N/K) + lane
+        idx_row = (
+            jax.lax.broadcasted_iota(jnp.int32, shape, 1) * nk
+            + jax.lax.broadcasted_iota(jnp.int32, shape, 2)
+        )
+
+        def per_image(x, op):
+            r = op(x, axis=2, keepdims=True)
+            return op(r, axis=1, keepdims=True)  # (G, 1, 1)
+
+    x1 = view(x1_ref[0])
+    y1 = view(y1_ref[0])
+    x2 = view(x2_ref[0])
+    y2 = view(y2_ref[0])
     area = (x2 - x1) * (y2 - y1)
-    idx_row = jax.lax.broadcasted_iota(jnp.int32, (g, n), 1)
 
     def body(i, _):
-        live = live_ref[:]
-        m = jnp.max(live, axis=-1, keepdims=True)  # (G, 1)
+        live = view(live_ref[:])
+        m = per_image(live, jnp.max)
         ok = m > NEG_INF / 2
         # lowest index among maxima (greedy argmax semantics), per image
-        j = jnp.min(
-            jnp.where(live == m, idx_row, BIG_IDX), axis=-1, keepdims=True
-        )
-        sel = idx_row == j  # (G, N) one-hot rows
+        j = per_image(jnp.where(live == m, idx_row, BIG_IDX), jnp.min)
+        sel = idx_row == j  # one-hot per image
 
-        bx1 = jnp.sum(jnp.where(sel, x1, 0.0), axis=-1, keepdims=True)
-        by1 = jnp.sum(jnp.where(sel, y1, 0.0), axis=-1, keepdims=True)
-        bx2 = jnp.sum(jnp.where(sel, x2, 0.0), axis=-1, keepdims=True)
-        by2 = jnp.sum(jnp.where(sel, y2, 0.0), axis=-1, keepdims=True)
+        bx1 = per_image(jnp.where(sel, x1, 0.0), jnp.sum)
+        by1 = per_image(jnp.where(sel, y1, 0.0), jnp.sum)
+        bx2 = per_image(jnp.where(sel, x2, 0.0), jnp.sum)
+        by2 = per_image(jnp.where(sel, y2, 0.0), jnp.sum)
         barea = (bx2 - bx1) * (by2 - by1)
 
         iw = jnp.maximum(jnp.minimum(x2, bx2) - jnp.maximum(x1, bx1), 0.0)
@@ -74,8 +97,10 @@ def _nms_kernel(x1_ref, y1_ref, x2_ref, y2_ref, scores_ref, sel_ref, live_ref,
         iou = inter / union
 
         suppress = (iou > iou_threshold) | sel
-        live_ref[:] = jnp.where(ok & suppress, NEG_INF, live)
-        sel_ref[0] = jnp.where(ok & sel, 1.0, sel_ref[0])
+        live_ref[:] = unview(jnp.where(ok & suppress, NEG_INF, live))
+        sel_ref[0] = jnp.where(
+            unview(ok & sel), 1.0, sel_ref[0]
+        )
         return 0
 
     jax.lax.fori_loop(0, max_out, body, 0)
@@ -104,7 +129,20 @@ def nms_pallas(
         selections in descending score order (= greedy pick order).
     """
     B, N = scores.shape
-    Np = _round_up(N, 128)
+    # images per program: as many as fit a ~14 MB VMEM budget counting
+    # the 7 named (G, N) f32 buffers PLUS ~6 loop-body temporaries
+    # (iou/inter/iw/ih/suppress), and a divisor of B — headroom below
+    # the 16 MB scoped-VMEM limit matters for multiclass NMS where
+    # N = max_per_img * num_classes can reach ~70k
+    budget = (14 << 20) // (13 * 4 * _round_up(N, 128))
+    G = max(1, min(B, budget))
+    while B % G:
+        G -= 1
+    # sub-rows per image: fill at least 8 sublanes even at small G/B
+    # (a (1, N) row uses 1/8 of every (8, 128) vreg)
+    K = max(1, 8 // G)
+
+    Np = _round_up(N, 128 * K)
     pad = Np - N
     if pad:
         boxes = jnp.pad(boxes, ((0, 0), (0, pad), (0, 0)))
@@ -112,35 +150,28 @@ def nms_pallas(
         valid = jnp.pad(valid, ((0, 0), (0, pad)))
     masked_scores = jnp.where(valid, scores, NEG_INF).astype(jnp.float32)
 
-    # images per program: as many as fit a ~14 MB VMEM budget counting
-    # the 7 named (G, Np) f32 buffers PLUS ~6 loop-body temporaries
-    # (iou/inter/iw/ih/suppress), and a divisor of B — headroom below
-    # the 16 MB scoped-VMEM limit matters for multiclass NMS where
-    # Np = max_per_img * num_classes can reach ~70k
-    budget = (14 << 20) // (13 * 4 * Np)
-    G = max(1, min(B, budget))
-    while B % G:
-        G -= 1
-
     kernel = functools.partial(
-        _nms_kernel, iou_threshold=iou_threshold, max_out=max_out
+        _nms_kernel, iou_threshold=iou_threshold, max_out=max_out, K=K
     )
     coord_spec = pl.BlockSpec(
-        (1, G, Np), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
+        (1, G * K, Np // K), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
     )
     bx = boxes.astype(jnp.float32)
-    coords = [bx[:, :, i].reshape(B // G, G, Np) for i in range(4)]
+    coords = [
+        bx[:, :, i].reshape(B // G, G * K, Np // K) for i in range(4)
+    ]
     selected = pl.pallas_call(
         kernel,
         grid=(B // G,),
         in_specs=[coord_spec] * 5,
         out_specs=pl.BlockSpec(
-            (1, G, Np), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
+            (1, G * K, Np // K), lambda b: (b, 0, 0),
+            memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((B // G, G, Np), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((G, Np), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct((B // G, G * K, Np // K), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((G * K, Np // K), jnp.float32)],
         interpret=interpret,
-    )(*coords, masked_scores.reshape(B // G, G, Np))
+    )(*coords, masked_scores.reshape(B // G, G * K, Np // K))
     selected = selected.reshape(B, Np)
 
     # recover the keep list in selection (descending-score) order
