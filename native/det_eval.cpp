@@ -17,12 +17,12 @@
 
 namespace {
 
-inline double box_area(const float* b) {
+inline double box_area(const double* b) {
   return (double)(b[2] - b[0]) * (double)(b[3] - b[1]);
 }
 
 // IoU; for crowd gts, intersection over det area (COCO semantics).
-inline double iou_one(const float* d, const float* g, bool crowd) {
+inline double iou_one(const double* d, const double* g, bool crowd) {
   double x1 = std::max(d[0], g[0]);
   double y1 = std::max(d[1], g[1]);
   double x2 = std::min(d[2], g[2]);
@@ -41,10 +41,13 @@ extern "C" {
 
 // COCO-protocol greedy matching for one image/class.
 // dets must be pre-sorted by score descending (caller side).
+// Boxes are float64: pycocotools computes areas/IoU on Python floats,
+// and float32 rounding flips area-range classification of boundary
+// boxes (e.g. area exactly 32^2) — observed vs the reference oracle.
 // Outputs: dt_matched/dt_ignore are (T, D) row-major uint8;
 //          gt_ignore is (G,) uint8 (area-range + crowd).
-void coco_match(const float* det_boxes, int D,
-                const float* gt_boxes, const uint8_t* gt_crowd, int G,
+void coco_match(const double* det_boxes, int D,
+                const double* gt_boxes, const uint8_t* gt_crowd, int G,
                 const double* iou_thrs, int T,
                 double area_lo, double area_hi,
                 uint8_t* dt_matched, uint8_t* dt_ignore,
@@ -101,8 +104,8 @@ void coco_match(const float* det_boxes, int D,
 
 // VOC-protocol TP/FP for one image/class (dets pre-sorted by score).
 // gt_ignore marks 'difficult' boxes: a match to one is neither TP nor FP.
-void voc_tpfp(const float* det_boxes, int D,
-              const float* gt_boxes, const uint8_t* gt_ignore, int G,
+void voc_tpfp(const double* det_boxes, int D,
+              const double* gt_boxes, const uint8_t* gt_ignore, int G,
               double iou_thr, float* tp, float* fp) {
   std::vector<uint8_t> claimed(G, 0);
   for (int d = 0; d < D; ++d) {

@@ -68,9 +68,12 @@ def null_space_mask(svals: np.ndarray, offset: float = 0.0) -> np.ndarray:
 
 
 def fixed_threshold_mask(svals: np.ndarray, thres: float = 1.001) -> np.ndarray:
-    """SGDNSCLNA ablation: keep eigenvalues <= thres * min."""
+    """SGDNSCLNA ablation: ``eigen_value <= eigen_value[-1] * thres``
+    (SGD_NSCL_NoAdaptive.py:157) on the descending torch.svd spectrum —
+    the minimum is the LAST entry and is non-negative (singular values),
+    tiny-positive rather than zero for rank-deficient covariances."""
     svals = np.asarray(svals)
-    return svals <= thres * max(svals.min(), 0.0) + 1e-30
+    return svals <= svals[-1] * thres
 
 
 def eigh_descending(cov: jnp.ndarray):
@@ -109,10 +112,16 @@ def build_transforms(
         # axon TPU backend rejects the eigh custom-call; a one-off host
         # decomposition per task is negligible
         evals_h, evecs_h = np.linalg.eigh(np.asarray(cov, np.float64))
-        evals_np = evals_h[::-1]
-        evecs = jnp.asarray(evecs_h[:, ::-1], jnp.float32)
-        # eigh of PSD can give tiny negatives; clamp like |singular values|
-        evals_np = np.maximum(evals_np, 0.0)
+        # torch.svd on a symmetric matrix (SGD_NSCL.py:377) yields
+        # singular values = |eigenvalues| in descending order; eigh gives
+        # signed ascending values (tiny NEGATIVES for numerically
+        # rank-deficient PSD). Take |.| and re-sort descending so both
+        # the adaptive elbow and the NA fixed threshold see the torch
+        # spectrum.
+        evals_abs = np.abs(evals_h)
+        order = np.argsort(-evals_abs, kind="stable")
+        evals_np = evals_abs[order]
+        evecs = jnp.asarray(evecs_h[:, order], jnp.float32)
         if adaptive:
             mask = null_space_mask(evals_np, offset)
         else:

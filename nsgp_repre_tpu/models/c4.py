@@ -18,10 +18,13 @@ Both reuse the generic FasterRCNN RPN/RoI machinery — a single-level
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
+from typing import Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
+
+from ..structures.sample import DetBatch, InstanceArray
 
 from .bbox_head import Shared2FCBBoxHeadTask
 from .detector import DetectorConfig, FasterRCNN
@@ -50,25 +53,35 @@ def c4_config(num_classes: int = 80, **overrides) -> DetectorConfig:
 
 class C4BBoxHead(nn.Module):
     """res5 shared head + global average pool + plain fc_cls/fc_reg
-    (BBoxHead with_avg_pool=True, bbox_head.py:23)."""
+    (BBoxHead with_avg_pool=True, bbox_head.py:23).
+
+    ``res5``/``heads`` are exposed separately so MaskRCNNC4 can reuse the
+    shared res5 RoI features for its mask branch (the reference's
+    ``mask_roi_extractor=None`` sharing, mask-rcnn_r50-caffe-c4.py)."""
 
     num_classes: int
     reg_class_agnostic: bool = False
 
-    @nn.compact
+    def setup(self):
+        self.shared_head = ResLayer(stage=3, num_blocks=3, stride=2,
+                                    style="caffe")
+        self.fc_cls = CovDense(self.num_classes + 1,
+                               kernel_init=nn.initializers.normal(0.01))
+        reg_out = 4 if self.reg_class_agnostic else 4 * self.num_classes
+        self.fc_reg = CovDense(reg_out,
+                               kernel_init=nn.initializers.normal(0.001))
+
+    def res5(self, roi_feats: jnp.ndarray) -> jnp.ndarray:
+        """(R, 14, 14, 1024) → (R, 7, 7, 2048) shared res5 features."""
+        return self.shared_head(roi_feats)
+
+    def heads(self, y5: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        y = jnp.mean(y5, axis=(1, 2))  # global average pool → (R, 2048)
+        return self.fc_cls(y), self.fc_reg(y)
+
     def __call__(self, roi_feats: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """(R, 14, 14, 1024) → (cls (R, C+1), reg (R, 4C))."""
-        y = ResLayer(stage=3, num_blocks=3, stride=2, style="caffe",
-                     name="shared_head")(roi_feats)
-        y = jnp.mean(y, axis=(1, 2))  # global average pool → (R, 2048)
-        cls = CovDense(self.num_classes + 1,
-                       kernel_init=nn.initializers.normal(0.01),
-                       name="fc_cls")(y)
-        reg_out = 4 if self.reg_class_agnostic else 4 * self.num_classes
-        reg = CovDense(reg_out,
-                       kernel_init=nn.initializers.normal(0.001),
-                       name="fc_reg")(y)
-        return cls, reg
+        return self.heads(self.res5(roi_feats))
 
     def mid_features(self, x: jnp.ndarray) -> jnp.ndarray:
         if x.ndim > 2:
@@ -175,8 +188,10 @@ class FasterRCNNDC5(FasterRCNN):
 
 class MaskRCNNC4(FasterRCNNC4):
     """Mask R-CNN R-50-caffe-C4 (mask-rcnn_r50-caffe-c4.py): the mask
-    branch shares the res5 features — mask head runs on the res5 output
-    of the SAME 14x14 RoI features (no separate extractor)."""
+    branch shares the res5 features — ``mask_roi_extractor=None`` in the
+    reference config means the FCNMaskHead(num_convs=0) runs on the res5
+    output of the SAME 14x14 RoI features (7x7x2048), whose 2x deconv
+    yields 14x14 class logits; ``train_cfg.rcnn.mask_size=14``."""
 
     def setup(self):
         super().setup()
@@ -189,3 +204,116 @@ class MaskRCNNC4(FasterRCNNC4):
         out = super().__call__(images)
         self.mask_head(jnp.zeros((1, 7, 7, 2048), jnp.float32))
         return out
+
+    @property
+    def _mask_size(self) -> int:
+        # train_cfg.rcnn.mask_size=14 (mask-rcnn_r50-caffe-c4.py); read
+        # from the config when a MaskRCNNConfig is supplied.
+        return int(getattr(self.config, "mask_size", 14))
+
+    def loss(
+        self,
+        batch: DetBatch,
+        rng: jax.Array,
+        rpn_gt: Optional[InstanceArray] = None,
+        roi_gt: Optional[InstanceArray] = None,
+        replay_feats=None,
+        replay_labels=None,
+    ):
+        """MaskRCNN.loss with the C4 shared-head feature path: res5 runs
+        once, feeding both the bbox head (avg-pool + fcs) and the mask
+        head (mask_rcnn.py via StandardRoIHead._mask_forward shared_head
+        path)."""
+        cfg = self.config
+        feats = self.extract_feat(batch.images)
+        rpn_gt = rpn_gt if rpn_gt is not None else batch.gt
+        roi_gt = roi_gt if roi_gt is not None else batch.gt
+        k1, k2 = jax.random.split(rng)
+        rpn_losses, proposals = self.rpn_loss_and_proposals(
+            feats, rpn_gt, batch.img_shape, k1
+        )
+        rois, batch_idx, labels, valid, pos, tgt = self._sample_rois(
+            proposals, roi_gt, k2
+        )
+        roi_feats = self._roi_feats(feats, rois, batch_idx)
+        y5 = self.bbox_head.res5(roi_feats)  # (N, 7, 7, 2048) shared
+        cls_score, bbox_pred = self.bbox_head.heads(y5)
+        cls_score = cls_score.astype(jnp.float32)
+        bbox_pred = bbox_pred.astype(jnp.float32)
+
+        from .losses import accuracy, weighted_l1, weighted_softmax_ce
+
+        label_w = valid.astype(jnp.float32)
+        avg = jnp.maximum(label_w.sum(), 1.0)
+        n = bbox_pred.shape[0]
+        pred4 = bbox_pred.reshape(n, cfg.num_classes, 4)
+        sel = jnp.take_along_axis(
+            pred4,
+            jnp.clip(labels, 0, cfg.num_classes - 1)[:, None, None].repeat(4, -1),
+            axis=1,
+        )[:, 0]
+        losses = dict(rpn_losses)
+        losses["loss_cls"] = weighted_softmax_ce(cls_score, labels, label_w, avg)
+        losses["loss_bbox"] = weighted_l1(sel, tgt, pos[:, None].astype(jnp.float32), avg)
+        losses["acc"] = accuracy(cls_score, labels, label_w)
+
+        if roi_gt.masks is not None:
+            mask_size = self._mask_size
+            mask_logits = self.mask_head(y5).astype(jnp.float32)  # (N,14,14,C)
+            gt_boxes_flat = roi_gt.boxes
+            gt_masks_flat = roi_gt.masks.astype(jnp.float32)
+
+            from ..structures.boxes import bbox_overlaps
+            from .mask import _resample_normalized
+
+            def one_roi(roi, bidx):
+                ious = bbox_overlaps(roi[None, :], gt_boxes_flat[bidx])[0]
+                ious = jnp.where(roi_gt.valid[bidx], ious, -1.0)
+                g = jnp.argmax(ious)
+                t = _resample_normalized(
+                    gt_masks_flat[bidx, g], roi, gt_boxes_flat[bidx, g], mask_size
+                )
+                return (t > 0.5).astype(jnp.float32)
+
+            targets = jax.vmap(one_roi)(rois, batch_idx)
+            ml = jnp.take_along_axis(
+                mask_logits,
+                jnp.clip(labels, 0, cfg.num_classes - 1)[:, None, None, None],
+                axis=-1,
+            )[..., 0]
+            bce = jnp.maximum(ml, 0) - ml * targets + jnp.log1p(jnp.exp(-jnp.abs(ml)))
+            w = pos.astype(jnp.float32)
+            num_pos = jnp.maximum(w.sum(), 1.0)
+            losses["loss_mask"] = (bce.mean(axis=(1, 2)) * w).sum() / num_pos
+        if replay_feats is not None:
+            losses["replay_loss_cls"] = self.replay_loss(replay_feats, replay_labels)
+        return losses
+
+    def predict(self, batch: DetBatch, rescale: bool = True) -> InstanceArray:
+        """Detect, then run the mask branch on the detected boxes through
+        the same RoIAlign-14 + res5 path (StandardRoIHead.predict_mask)."""
+        cfg = self.config
+        feats = self.extract_feat(batch.images)
+        _, proposals = self.rpn_loss_and_proposals(
+            feats, batch.gt, batch.img_shape, jax.random.PRNGKey(0), with_loss=False
+        )
+        dets = self._predict_from_proposals(feats, proposals, batch, rescale)
+        B, D = dets.boxes.shape[:2]
+        boxes_img = dets.boxes
+        if rescale:
+            scale = jnp.concatenate([batch.scale_factor, batch.scale_factor], -1)
+            boxes_img = dets.boxes * scale[:, None, :]
+        rois = boxes_img.reshape(-1, 4)
+        bidx = jnp.broadcast_to(
+            jnp.arange(B, dtype=jnp.int32)[:, None], (B, D)
+        ).reshape(-1)
+        m_feats = self._roi_feats(feats, rois, bidx)
+        y5 = self.bbox_head.res5(m_feats)
+        logits = self.mask_head(y5).astype(jnp.float32)  # (B*D,14,14,C)
+        lbl = jnp.clip(dets.labels.reshape(-1), 0, cfg.num_classes - 1)
+        per_det = jnp.take_along_axis(
+            logits, lbl[:, None, None, None], axis=-1
+        )[..., 0]
+        mask_size = self._mask_size
+        probs = jax.nn.sigmoid(per_det).reshape(B, D, mask_size, mask_size)
+        return dets.replace(masks=probs)

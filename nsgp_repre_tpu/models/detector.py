@@ -81,6 +81,12 @@ class DetectorConfig:
     score_thr: float = 0.05
     nms_iou: float = 0.5
     max_per_img: int = 100
+    # nms=dict(type='soft_nms', ...) knob (bbox_nms.py → mmcv soft_nms):
+    # 'nms' = hard greedy (default), 'soft_nms' = score-decay variant
+    nms_type: str = "nms"
+    soft_nms_sigma: float = 0.5
+    soft_nms_min_score: float = 1e-3
+    soft_nms_method: str = "linear"
     # coders
     rcnn_target_stds: Tuple[float, ...] = (0.1, 0.1, 0.2, 0.2)
     # roi extraction
@@ -562,6 +568,20 @@ class FasterRCNN(nn.Module):
             batch.img_shape, batch.scale_factor,
         )
         # multiclass NMS (bbox_nms.py:12) over all class-boxes per image
+        if cfg.nms_type == "soft_nms":
+            from ..ops.nms import batched_soft_nms
+
+            keep_idx, dv, dscores = jax.vmap(
+                lambda b, s, l, v: batched_soft_nms(
+                    b, s, l, v, cfg.nms_iou, cfg.max_per_img,
+                    sigma=cfg.soft_nms_sigma,
+                    min_score=cfg.soft_nms_min_score,
+                    method=cfg.soft_nms_method,
+                )
+            )(fb, fs, fl, ok)
+            db = jnp.take_along_axis(fb, keep_idx[..., None], axis=1)
+            dl = jnp.take_along_axis(fl, keep_idx, axis=1)
+            return InstanceArray(boxes=db, labels=dl, valid=dv, scores=dscores)
         if _use_pallas():
             keep_idx, dv = batched_nms_pallas(
                 fb, fs, fl, ok, cfg.nms_iou, cfg.max_per_img

@@ -229,6 +229,7 @@ class SSD(nn.Module):
             cfg.input_size, len(cfg.strides), cfg.basesize_ratio_range
         )
         all_anchors = []
+        level_sizes = []
         for f, stride, mn, mx, ratios in zip(
             feats, cfg.strides, min_s, max_s, cfg.level_ratios
         ):
@@ -241,14 +242,18 @@ class SSD(nn.Module):
                 [shift_x, shift_y, shift_x, shift_y], -1
             ).reshape(-1, 1, 4)
             all_anchors.append((shifts + base[None]).reshape(-1, 4))
-        return jnp.asarray(np.concatenate(all_anchors, 0).astype(np.float32))
+            level_sizes.append(fh * fw * base.shape[0])
+        return (
+            jnp.asarray(np.concatenate(all_anchors, 0).astype(np.float32)),
+            level_sizes,
+        )
 
     # ------------------------------------------------------------------
     def loss(self, batch: DetBatch, rng=None):
         cfg = self.config
         feats = self.extract_feat(batch.images)
         cls_maps, reg_maps = self.bbox_head(feats)
-        anchors = self._anchors(feats)
+        anchors, _ = self._anchors(feats)
         B = cls_maps[0].shape[0]
         C1 = cfg.num_classes + 1
 
@@ -284,24 +289,29 @@ class SSD(nn.Module):
             rank = jnp.zeros_like(order).at[order].set(jnp.arange(order.shape[0]))
             hard_neg = neg & (rank < num_neg)
             w = (pos | hard_neg).astype(jnp.float32)
-            loss_cls = (ce * w).sum() / jnp.maximum(num_pos, 1)
+            # per-image UNNORMALIZED sums; the reference normalizes every
+            # image's loss by the BATCH-total positive count
+            # (ssd_head.py loss_by_feat: avg_factor=num_total_pos), so
+            # normalization happens once outside the vmap.
+            loss_cls = (ce * w).sum()
             loss_bbox = weighted_smooth_l1(
                 deltas, tgt, pos[:, None].astype(jnp.float32),
-                jnp.maximum(num_pos, 1), beta=cfg.smoothl1_beta,
+                1.0, beta=cfg.smoothl1_beta,
             )
-            return loss_cls, loss_bbox
+            return loss_cls, loss_bbox, num_pos
 
-        lc, lb = jax.vmap(one_image)(
+        lc, lb, np_i = jax.vmap(one_image)(
             cls_flat, reg_flat, batch.gt.boxes, batch.gt.labels, batch.gt.valid
         )
-        return {"loss_cls": lc.mean(), "loss_bbox": lb.mean()}
+        total_pos = jnp.maximum(np_i.sum(), 1).astype(jnp.float32)
+        return {"loss_cls": lc.sum() / total_pos, "loss_bbox": lb.sum() / total_pos}
 
     # ------------------------------------------------------------------
     def predict(self, batch: DetBatch, rescale: bool = True) -> InstanceArray:
         cfg = self.config
         feats = self.extract_feat(batch.images)
         cls_maps, reg_maps = self.bbox_head(feats)
-        anchors = self._anchors(feats)
+        anchors, level_sizes = self._anchors(feats)
         B = cls_maps[0].shape[0]
         C = cfg.num_classes
         C1 = C + 1
@@ -316,15 +326,30 @@ class SSD(nn.Module):
         from ..ops.topk import fast_top_k
 
         def one_image(scores, deltas, shape, scale):
+            # nms_pre top-k PER LEVEL (base_dense_head.predict_by_feat →
+            # filter_scores_and_topk per level), so coarse-level
+            # detections are not crowded out by fine-level candidates
             probs = jax.nn.softmax(scores, -1)[:, :C]  # drop background
-            flat = probs.reshape(-1)
-            k = min(cfg.nms_pre, flat.shape[0])
-            top_s, top_i = fast_top_k(flat, k, approx=cfg.use_approx_topk)
-            a_idx = top_i // C
-            lbl = (top_i % C).astype(jnp.int32)
-            boxes = delta2bbox(
-                anchors[a_idx], deltas[a_idx], stds=cfg.target_stds, max_shape=shape
-            )
+            boxes_l, scores_l, labels_l = [], [], []
+            off = 0
+            for n_l in level_sizes:
+                flat = probs[off : off + n_l].reshape(-1)  # (n_l*C,)
+                k = min(cfg.nms_pre, n_l * C)
+                top_s, top_i = fast_top_k(flat, k, approx=cfg.use_approx_topk)
+                a_idx = top_i // C
+                lbl = (top_i % C).astype(jnp.int32)
+                a = anchors[off : off + n_l]
+                boxes = delta2bbox(
+                    a[a_idx], deltas[off : off + n_l][a_idx],
+                    stds=cfg.target_stds, max_shape=shape,
+                )
+                boxes_l.append(boxes)
+                scores_l.append(top_s)
+                labels_l.append(lbl)
+                off += n_l
+            boxes = jnp.concatenate(boxes_l)
+            top_s = jnp.concatenate(scores_l)
+            lbl = jnp.concatenate(labels_l)
             if rescale:
                 boxes = boxes / jnp.concatenate([scale, scale])[None, :]
             ok = top_s > cfg.score_thr

@@ -59,6 +59,10 @@ def _two_stage_kwargs(model: Dict[str, Any], num_classes: int) -> Dict[str, Any]
         rcnn_pos_fraction=rcnn_t.get("sampler", {}).get("pos_fraction", 0.25),
         score_thr=rcnn_te.get("score_thr", 0.05),
         nms_iou=rcnn_te.get("nms", {}).get("iou_threshold", 0.5),
+        nms_type=rcnn_te.get("nms", {}).get("type", "nms"),
+        soft_nms_sigma=rcnn_te.get("nms", {}).get("sigma", 0.5),
+        soft_nms_min_score=rcnn_te.get("nms", {}).get("min_score", 1e-3),
+        soft_nms_method=rcnn_te.get("nms", {}).get("method", "linear"),
         max_per_img=rcnn_te.get("max_per_img", 100),
         backbone_blocks=tuple(bb.get("stage_blocks", (3, 4, 6, 3))),
         frozen_stages=bb.get("frozen_stages", 1),
@@ -179,7 +183,19 @@ def build_detector(
             float(s) for s in anchor.get("scales", (2, 4, 8, 16, 32))
         )
         kw["roi_strides"] = kw["anchor_strides"]
-        cfg = DetectorConfig(**kw)
+        if typ == "MaskRCNNC4":
+            # mask-rcnn_r50-caffe-c4.py: shared res5 mask branch,
+            # FCNMaskHead(num_convs=0), train_cfg.rcnn.mask_size=14
+            mh = (model.get("roi_head", {}) or {}).get("mask_head", {}) or {}
+            cfg = MaskRCNNConfig(
+                **kw,
+                mask_size=14,
+                mask_roi_out_size=14,
+                mask_convs=mh.get("num_convs", 0),
+                mask_channels=mh.get("conv_out_channels", 256),
+            )
+        else:
+            cfg = DetectorConfig(**kw)
         cls = {
             "FasterRCNNC4": FasterRCNNC4,
             "MaskRCNNC4": MaskRCNNC4,

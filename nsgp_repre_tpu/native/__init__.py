@@ -45,14 +45,16 @@ def get_lib() -> Optional[ctypes.CDLL]:
     f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
     f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
     u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    # boxes are float64: float32 rounding flips the area-range
+    # classification of boundary boxes vs the pycocotools oracle
     lib.coco_match.argtypes = [
-        f32p, ctypes.c_int, f32p, u8p, ctypes.c_int,
+        f64p, ctypes.c_int, f64p, u8p, ctypes.c_int,
         f64p, ctypes.c_int, ctypes.c_double, ctypes.c_double,
         u8p, u8p, u8p,
     ]
     lib.coco_match.restype = None
     lib.voc_tpfp.argtypes = [
-        f32p, ctypes.c_int, f32p, u8p, ctypes.c_int,
+        f64p, ctypes.c_int, f64p, u8p, ctypes.c_int,
         ctypes.c_double, f32p, f32p,
     ]
     lib.voc_tpfp.restype = None
@@ -66,8 +68,8 @@ def coco_match_native(det_boxes, gt_boxes, gt_crowd, iou_thrs, area_lo, area_hi)
     lib = get_lib()
     if lib is None:
         return None
-    det_boxes = np.ascontiguousarray(det_boxes, np.float32)
-    gt_boxes = np.ascontiguousarray(gt_boxes, np.float32)
+    det_boxes = np.ascontiguousarray(det_boxes, np.float64)
+    gt_boxes = np.ascontiguousarray(gt_boxes, np.float64)
     gt_crowd = np.ascontiguousarray(gt_crowd, np.uint8)
     iou_thrs = np.ascontiguousarray(iou_thrs, np.float64)
     D, G, T = len(det_boxes), len(gt_boxes), len(iou_thrs)
@@ -86,8 +88,8 @@ def voc_tpfp_native(det_boxes, gt_boxes, gt_ignore, iou_thr):
     lib = get_lib()
     if lib is None:
         return None
-    det_boxes = np.ascontiguousarray(det_boxes, np.float32)
-    gt_boxes = np.ascontiguousarray(gt_boxes, np.float32)
+    det_boxes = np.ascontiguousarray(det_boxes, np.float64)
+    gt_boxes = np.ascontiguousarray(gt_boxes, np.float64)
     gt_ignore = np.ascontiguousarray(gt_ignore, np.uint8)
     D, G = len(det_boxes), len(gt_boxes)
     tp = np.zeros(max(D, 1), np.float32)

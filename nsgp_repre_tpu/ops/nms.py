@@ -82,3 +82,79 @@ def batched_nms(
     offsets = idxs.astype(boxes.dtype) * max_coord
     shifted = boxes + offsets[:, None]
     return nms(shifted, scores, valid, iou_threshold, max_out)
+
+
+def soft_nms(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    valid: jnp.ndarray,
+    iou_threshold: float = 0.3,
+    max_out: int = 100,
+    sigma: float = 0.5,
+    min_score: float = 1e-3,
+    method: str = "linear",
+):
+    """Soft-NMS with static output size (mmcv ``soft_nms`` semantics,
+    the ``nms=dict(type='soft_nms')`` test_cfg knob named in the reference
+    configs — mmdet/models/layers/bbox_nms.py routes to mmcv.ops.soft_nms).
+
+    Greedy: pick the current max, emit it with its (already decayed)
+    score, then DECAY overlapping candidates instead of removing them:
+    ``linear``: w = 1 - iou for iou > iou_threshold; ``gaussian``:
+    w = exp(-iou^2 / sigma). Candidates whose decayed score falls below
+    ``min_score`` are dropped.
+
+    Returns:
+        keep_idx: (max_out,) int32 indices into the input.
+        keep_valid: (max_out,) bool.
+        keep_scores: (max_out,) decayed scores of the kept boxes.
+    """
+    n = boxes.shape[0]
+    live0 = jnp.where(valid & (scores > min_score), scores, NEG_INF)
+
+    def body(i, carry):
+        live, keep_idx, keep_valid, keep_scores = carry
+        j = jnp.argmax(live)
+        s_j = live[j]
+        ok = s_j > NEG_INF / 2
+        keep_idx = keep_idx.at[i].set(jnp.where(ok, j, 0).astype(jnp.int32))
+        keep_valid = keep_valid.at[i].set(ok)
+        keep_scores = keep_scores.at[i].set(jnp.where(ok, s_j, 0.0))
+        ious = bbox_overlaps(boxes[j][None, :], boxes)[0]  # (N,)
+        if method == "gaussian":
+            w = jnp.exp(-(ious * ious) / sigma)
+        else:  # linear
+            w = jnp.where(ious > iou_threshold, 1.0 - ious, 1.0)
+        decayed = live * w
+        decayed = jnp.where(decayed > min_score, decayed, NEG_INF)
+        live = jnp.where(ok, decayed, live).at[j].set(NEG_INF)
+        return live, keep_idx, keep_valid, keep_scores
+
+    keep_idx = jnp.zeros((max_out,), jnp.int32)
+    keep_valid = jnp.zeros((max_out,), bool)
+    keep_scores = jnp.zeros((max_out,), scores.dtype)
+    _, keep_idx, keep_valid, keep_scores = jax.lax.fori_loop(
+        0, max_out, body, (live0, keep_idx, keep_valid, keep_scores)
+    )
+    return keep_idx, keep_valid, keep_scores
+
+
+def batched_soft_nms(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    idxs: jnp.ndarray,
+    valid: jnp.ndarray,
+    iou_threshold: float = 0.3,
+    max_out: int = 100,
+    sigma: float = 0.5,
+    min_score: float = 1e-3,
+    method: str = "linear",
+):
+    """Class-aware soft-NMS via the same coordinate-offset trick."""
+    max_coord = jnp.max(jnp.where(valid[:, None], boxes, 0.0)) + 1.0
+    offsets = idxs.astype(boxes.dtype) * max_coord
+    shifted = boxes + offsets[:, None]
+    return soft_nms(
+        shifted, scores, valid, iou_threshold, max_out,
+        sigma=sigma, min_score=min_score, method=method,
+    )

@@ -135,9 +135,17 @@ def multilevel_roi_align_auto(
     import jax
 
     if mode == "window" and jax.default_backend() != "cpu":
-        from .roi_align_pallas import multilevel_roi_align_window
+        from .roi_align_pallas import WIN, multilevel_roi_align_window
 
-        return multilevel_roi_align_window(features, rois, batch_idx, **kw)
+        # The window kernel's fit guarantee (route_levels bump) only
+        # holds when the coarsest level map itself fits inside the
+        # (WIN, WIN) window — a canvas-sized roi cannot bump further.
+        # For canvases beyond WIN * strides[-1] (~1536 px at stride 32)
+        # fall back to the gather path instead of silently zero-weighting
+        # samples outside the window.
+        h_last, w_last = features[-1].shape[1:3]
+        if h_last <= WIN and w_last <= WIN:
+            return multilevel_roi_align_window(features, rois, batch_idx, **kw)
     return multilevel_roi_align(features, rois, batch_idx, **kw)
 
 

@@ -2,7 +2,8 @@
 
 Parity target: mmdet/utils/benchmark.py — ``InferenceBenchmark`` (fps
 over N images, excluding data loading, model_zoo protocol
-docs/en/model_zoo.md:13) and ``DataLoaderBenchmark`` (batches/sec).
+docs/en/model_zoo.md:13), ``DataLoaderBenchmark`` (batches/sec) and
+``DatasetBenchmark`` (per-item pipeline fps, benchmark.py:406).
 """
 from __future__ import annotations
 
@@ -56,4 +57,38 @@ class DataLoaderBenchmark:
         return dict(
             batches_per_sec=round(n_batches / dt, 2),
             imgs_per_sec=round(n_imgs / dt, 2),
+        )
+
+
+class DatasetBenchmark:
+    """Per-item dataset pipeline fps (decode + resize + flip + pack),
+    no batching/collation — the reference's third mode
+    (mmdet/utils/benchmark.py:406 DatasetBenchmark: iterates shuffled
+    indices, times ``dataset[idx]``)."""
+
+    def __init__(self, dataset, max_iter: int = 2000, num_warmup: int = 5,
+                 shuffle: bool = True, seed: int = 0):
+        self.dataset = dataset
+        self.max_iter = max_iter
+        self.num_warmup = num_warmup
+        self.shuffle = shuffle
+        self.seed = seed
+
+    def run(self) -> dict:
+        n = len(self.dataset)
+        idx = np.arange(n)
+        if self.shuffle:
+            np.random.RandomState(self.seed).shuffle(idx)
+        total = min(self.max_iter + self.num_warmup, n)
+        for i in range(min(self.num_warmup, total)):
+            self.dataset[int(idx[i])]
+        t0 = time.perf_counter()
+        count = 0
+        for i in range(self.num_warmup, total):
+            self.dataset[int(idx[i])]
+            count += 1
+        dt = max(time.perf_counter() - t0, 1e-9)
+        return dict(
+            items_per_sec=round(count / dt, 2),
+            ms_per_item=round(1000.0 * dt / max(count, 1), 6),
         )

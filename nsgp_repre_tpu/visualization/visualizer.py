@@ -62,11 +62,34 @@ class DetLocalVisualizer:
         os.makedirs(save_dir, exist_ok=True)
 
     def add_datasample(
-        self, name: str, image: np.ndarray, pred: dict, score_thr: float = 0.3
+        self,
+        name: str,
+        image: np.ndarray,
+        pred: Optional[dict] = None,
+        score_thr: float = 0.3,
+        gt: Optional[dict] = None,
+        draw_gt: bool = True,
+        draw_pred: bool = True,
     ) -> str:
+        """Save an annotated image. With both ``gt`` and ``pred`` given the
+        panels are concatenated side by side — GT left, prediction right
+        (DetLocalVisualizer.add_datasample,
+        mmdet/visualization/local_visualizer.py: ``np.concatenate(
+        (gt_img_data, pred_img_data), axis=1)``)."""
         import cv2
 
-        vis = draw_detections(image, pred, self.class_names, score_thr)
+        panels = []
+        if draw_gt and gt is not None:
+            panels.append(
+                draw_detections(image, gt, self.class_names, score_thr=-1.0)
+            )
+        if draw_pred and pred is not None:
+            panels.append(
+                draw_detections(image, pred, self.class_names, score_thr)
+            )
+        vis = np.concatenate(panels, axis=1) if len(panels) > 1 else (
+            panels[0] if panels else image
+        )
         path = osp.join(self.save_dir, f"{name}.jpg")
         cv2.imwrite(path, cv2.cvtColor(vis, cv2.COLOR_RGB2BGR))
         return path

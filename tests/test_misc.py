@@ -56,3 +56,20 @@ def test_prefetch_propagates_errors():
     import pytest
     with pytest.raises(ValueError):
         list(PrefetchLoader(Bad()))
+
+
+def test_dataset_benchmark():
+    """DatasetBenchmark times per-item pipeline fps (reference
+    mmdet/utils/benchmark.py:406 third mode)."""
+    from nsgp_repre_tpu.utils.benchmark import DatasetBenchmark
+
+    class _DS:
+        def __len__(self):
+            return 32
+
+        def __getitem__(self, i):
+            return {"img": i}
+
+    res = DatasetBenchmark(_DS(), max_iter=16, num_warmup=2).run()
+    assert res["items_per_sec"] > 0
+    assert res["ms_per_item"] > 0

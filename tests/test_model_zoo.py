@@ -270,6 +270,46 @@ def test_c4_dc5_variants():
         assert dets.boxes.shape == (B, cfg.max_per_img, 4)
 
 
+def test_mask_rcnn_c4():
+    """MaskRCNNC4 runs a real mask branch on the shared res5 features:
+    loss_mask is produced and predict returns 14x14 mask probabilities
+    (mask-rcnn_r50-caffe-c4.py: mask_roi_extractor=None, mask_size=14)."""
+    from nsgp_repre_tpu.models.c4 import MaskRCNNC4
+
+    kw = dict(KW)
+    kw.update(anchor_strides=(16,), anchor_scales=(2.0, 4.0, 8.0, 16.0, 32.0),
+              roi_strides=(16,), backbone_blocks=(1, 1, 1, 1))
+    cfg = MaskRCNNConfig(**kw, mask_size=14, mask_roi_out_size=14, mask_convs=0)
+    model = MaskRCNNC4(config=cfg)
+    batch = _batch()
+    rng = np.random.RandomState(0)
+    batch = batch.replace(
+        # non-zero images so res5 features (the mask head input) are
+        # non-zero and the kernel gradient check below is meaningful
+        images=jnp.asarray(rng.rand(B, H, W, 3), jnp.float32),
+        gt=batch.gt.replace(
+            masks=jnp.asarray(rng.rand(B, 2, 56, 56) > 0.5, jnp.float32)
+        ),
+    )
+    variables = model.init(jax.random.PRNGKey(0), batch.images)
+    losses = jax.jit(
+        lambda v, b: model.apply(v, b, jax.random.PRNGKey(1), method=model.loss)
+    )(variables, batch)
+    assert "loss_mask" in losses and "loss_cls" in losses
+    _finite(losses)
+    # the mask loss must actually touch the mask-head params
+    grads = jax.grad(
+        lambda v: model.apply(v, batch, jax.random.PRNGKey(1),
+                              method=model.loss)["loss_mask"]
+    )(variables)
+    g = grads["params"]["mask_head"]["conv_logits"]["kernel"]
+    assert float(jnp.abs(g).sum()) > 0.0
+    dets = jax.jit(lambda v, b: model.apply(v, b, method=model.predict))(
+        variables, batch
+    )
+    assert dets.masks.shape == (B, cfg.max_per_img, 14, 14)
+
+
 def test_gt_max_assign_all_flag():
     """SSD's gt_max_assign_all=False: a gt's low-quality match claims
     only the argmax prior, not every tying prior."""

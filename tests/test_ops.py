@@ -192,3 +192,96 @@ class TestRoIPool:
         f[0, 1, 1, 0] = 5.0
         out = roi_pool(jnp.asarray(f), jnp.array([[0.0, 0, 4, 4]]), jnp.array([0]), output_size=2)
         assert float(np.asarray(out).max()) == 5.0
+
+
+class TestSoftNMS:
+    """soft_nms (mmcv semantics: linear/gaussian score decay, min_score
+    drop) — the test_cfg nms=dict(type='soft_nms') knob."""
+
+    def _np_soft_nms(self, boxes, scores, iou_thr, max_out, sigma, min_score, method):
+        """Straightforward numpy soft-NMS (independent oracle)."""
+        def iou(a, b):
+            x1 = max(a[0], b[0]); y1 = max(a[1], b[1])
+            x2 = min(a[2], b[2]); y2 = min(a[3], b[3])
+            inter = max(0.0, x2 - x1) * max(0.0, y2 - y1)
+            ua = (a[2]-a[0])*(a[3]-a[1]) + (b[2]-b[0])*(b[3]-b[1]) - inter
+            return inter / ua if ua > 0 else 0.0
+
+        s = scores.copy().astype(np.float64)
+        alive = s > min_score
+        kept, kept_s = [], []
+        for _ in range(max_out):
+            if not alive.any():
+                break
+            j = int(np.where(alive, s, -np.inf).argmax())
+            kept.append(j); kept_s.append(s[j]); alive[j] = False
+            for k in np.where(alive)[0]:
+                o = iou(boxes[j], boxes[k])
+                if method == "gaussian":
+                    w = np.exp(-o * o / sigma)
+                else:
+                    w = 1.0 - o if o > iou_thr else 1.0
+                s[k] *= w
+                if s[k] <= min_score:
+                    alive[k] = False
+        return kept, kept_s
+
+    def test_matches_numpy_oracle(self):
+        import jax.numpy as jnp
+
+        from nsgp_repre_tpu.ops.nms import soft_nms
+
+        rng = np.random.RandomState(0)
+        n = 40
+        ctr = rng.rand(n, 2) * 40
+        wh = 10 + rng.rand(n, 2) * 20
+        boxes = np.concatenate([ctr - wh / 2, ctr + wh / 2], 1).astype(np.float32)
+        scores = rng.rand(n).astype(np.float32)
+        for method in ("linear", "gaussian"):
+            ki, kv, ks = soft_nms(
+                jnp.asarray(boxes), jnp.asarray(scores),
+                jnp.ones(n, bool), 0.3, 16, 0.5, 1e-3, method,
+            )
+            exp_i, exp_s = self._np_soft_nms(
+                boxes, scores, 0.3, 16, 0.5, 1e-3, method
+            )
+            got_i = np.asarray(ki)[np.asarray(kv)]
+            got_s = np.asarray(ks)[np.asarray(kv)]
+            np.testing.assert_array_equal(got_i, exp_i, err_msg=method)
+            np.testing.assert_allclose(got_s, exp_s, rtol=1e-4, err_msg=method)
+
+    def test_decay_keeps_overlapping_boxes(self):
+        """Unlike hard NMS, a strongly-overlapping second box survives
+        with a decayed score."""
+        import jax.numpy as jnp
+
+        from nsgp_repre_tpu.ops.nms import nms, soft_nms
+
+        boxes = jnp.asarray([[0.0, 0, 10, 10], [1.0, 0, 11, 10], [50.0, 50, 60, 60]])
+        scores = jnp.asarray([0.9, 0.8, 0.7])
+        v = jnp.ones(3, bool)
+        _, hard_valid = nms(boxes, scores, v, 0.5, 3)
+        assert int(hard_valid.sum()) == 2  # box 1 suppressed
+        ki, kv, ks = soft_nms(boxes, scores, v, 0.5, 3, method="gaussian")
+        assert int(kv.sum()) == 3  # survives, decayed
+        s = np.asarray(ks)[np.asarray(ki).tolist().index(1)]
+        assert 0.0 < s < 0.8
+
+    def test_detector_soft_nms_knob(self):
+        """nms_type='soft_nms' flows from config to predict."""
+        from nsgp_repre_tpu.models.zoo import build_detector
+
+        model_cfg = dict(
+            type="FasterRCNN",
+            test_cfg=dict(rcnn=dict(
+                score_thr=0.05,
+                nms=dict(type="soft_nms", iou_threshold=0.3, sigma=0.6,
+                         min_score=1e-3, method="gaussian"),
+                max_per_img=20,
+            )),
+        )
+        model, cfg = build_detector(model_cfg, num_classes=4,
+                                    backbone_blocks=(1, 1, 1, 1))
+        assert cfg.nms_type == "soft_nms"
+        assert cfg.soft_nms_sigma == 0.6
+        assert cfg.soft_nms_method == "gaussian"

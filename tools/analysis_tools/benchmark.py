@@ -17,7 +17,15 @@ def parse_args():
     p = argparse.ArgumentParser()
     p.add_argument("config")
     p.add_argument("--checkpoint", default=None)
-    p.add_argument("--task", choices=["inference", "dataloader"], default="inference")
+    p.add_argument(
+        "--task",
+        choices=["inference", "dataloader", "dataset"],
+        default="inference",
+    )
+    p.add_argument(
+        "--dataset-type", choices=["train", "val", "test"], default="train",
+        help="which split the 'dataset' task benchmarks",
+    )
     p.add_argument("--max-iter", type=int, default=200)
     p.add_argument("--batch-size", type=int, default=1)
     p.add_argument("--height", type=int, default=608)
@@ -36,6 +44,18 @@ def main():
 
         runner = NullSpaceRunner(cfg)
         print(json.dumps(DataLoaderBenchmark(runner.train_loader, args.max_iter).run()))
+        return
+    if args.task == "dataset":
+        from nsgp_repre_tpu.engine.runner import NullSpaceRunner
+        from nsgp_repre_tpu.utils.benchmark import DatasetBenchmark
+
+        runner = NullSpaceRunner(cfg)
+        ds = (
+            runner.train_dataset
+            if args.dataset_type == "train"
+            else runner.val_dataset
+        )
+        print(json.dumps(DatasetBenchmark(ds, args.max_iter).run()))
         return
 
     from nsgp_repre_tpu.apis import init_detector
