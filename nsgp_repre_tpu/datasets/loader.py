@@ -72,6 +72,17 @@ def _round_up(x: int, m: int = 32) -> int:
     return int(math.ceil(x / m) * m)
 
 
+class BatchMeta(list):
+    """The global batch's ``img_ids`` (list subclass — drop-in for the
+    old plain list) plus the per-image ``flips`` decisions, so the
+    teacher pseudo-label cache can key on ``(img_id, flip)``
+    (engine/runner.py teacher_label_cache)."""
+
+    def __init__(self, ids, flips):
+        super().__init__(ids)
+        self.flips = list(flips)
+
+
 class DetLoader:
     """Batches a dataset into fixed-shape :class:`DetBatch` pytrees.
 
@@ -95,6 +106,7 @@ class DetLoader:
         drop_last: Optional[bool] = None,
         num_shards: int = 1,
         shard_id: int = 0,
+        force_flip: Optional[bool] = None,
     ):
         """``num_shards``/``shard_id`` enable multi-host SPMD loading:
         ``batch_size`` stays the GLOBAL batch; every process runs the SAME
@@ -119,6 +131,10 @@ class DetLoader:
         self.seed = seed
         self.epoch = 0
         self.drop_last = training if drop_last is None else drop_last
+        # force_flip overrides the random flip decision for EVERY record
+        # — used by the teacher pseudo-label pre-pass to enumerate both
+        # augmentation variants deterministically
+        self.force_flip = force_flip
         long_side, short_side = max(scale), min(scale)
         # static canvases: landscape (short, long), portrait (long, short)
         self.canvas = {
@@ -179,7 +195,9 @@ class DetLoader:
         """Slice this process's contiguous rows out of the global plan;
         ids stay global (the i-th row of the assembled global batch is
         the i-th planned record)."""
-        ids = [rec["img_id"] for rec, _ in items]
+        ids = BatchMeta(
+            [rec["img_id"] for rec, _ in items], [f for _, f in items]
+        )
         lo = self.shard_id * self.local_batch
         local = items[lo : lo + self.local_batch]
         return self._make_batch(local, bucket), ids
@@ -198,7 +216,14 @@ class DetLoader:
         buckets: dict = {"landscape": [], "portrait": []}
         for idx in order:
             rec = self.dataset[int(idx)]
-            flip = bool(self.training and rng.rand() < self.flip_prob)
+            # rng is consumed regardless of force_flip so the batch plan
+            # (shuffle order downstream) is unchanged by the override
+            r = rng.rand()
+            flip = (
+                self.force_flip
+                if self.force_flip is not None
+                else bool(self.training and r < self.flip_prob)
+            )
             b = self._bucket_of(rec)
             buckets[b].append((rec, flip))
             if len(buckets[b]) == self.batch_size:

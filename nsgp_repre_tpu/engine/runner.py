@@ -30,7 +30,7 @@ from ..datasets.loader import DetLoader
 from ..evaluation import eval_coco_map, eval_voc_map
 from ..models.detector import DetectorConfig, FasterRCNN
 from ..parallel.mesh import create_mesh, replicate, shard_batch
-from ..structures.sample import DetBatch
+from ..structures.sample import DetBatch, InstanceArray
 from ..utils import checkpoint as ckpt_io
 from ..utils.config import Config
 from . import ewc as ewc_lib
@@ -42,6 +42,7 @@ from .train import (
     make_importance_step,
     make_lr_schedule,
     make_roi_extract_step,
+    make_teacher_step,
     make_train_step,
     trainable_mask,
 )
@@ -422,6 +423,18 @@ class NullSpaceRunner:
             self.model, self.optimizer, self.teacher_model,
             clip_grad_norm=clip_cfg.get("max_norm"),
         )
+        # teacher pseudo-label cache: the frozen teacher is deterministic
+        # per (image, flip), so its labels are computed once per variant
+        # (a 2-variant pre-pass + lazy fallback) instead of every step of
+        # every epoch. teacher_label_cache=False restores the reference's
+        # exact per-step recompute (faster_rcnn_roi_replay.py:65-109).
+        self.teacher_cache = (
+            bool(cfg.get("teacher_label_cache", True)) and self.use_teacher
+        )
+        self.teacher_step = (
+            make_teacher_step(self.teacher_model) if self.use_teacher else None
+        )
+        self._pseudo_cache: Dict[tuple, tuple] = {}
         self.eval_step = make_eval_step(self.model)
         self.cov_step = make_cov_step(self.model)
         self.roi_step = make_roi_extract_step(self.model)
@@ -536,6 +549,96 @@ class NullSpaceRunner:
         logger.info(f"resumed from {path} at epoch {epoch}")
         return epoch
 
+    # ------------------------------------------------------------------
+    # teacher pseudo-label cache (task>1). The frozen teacher's labels
+    # depend only on (image, flip); one pre-pass over both flip variants
+    # replaces max_epochs-1 identical recomputes (~71 ms of a ~240 ms
+    # task-2 step at batch 16 was teacher predict in round 2).
+    # ------------------------------------------------------------------
+    def _teacher_vars(self):
+        return {
+            "params": self.state.teacher_params,
+            "batch_stats": self.state.batch_stats,
+        }
+
+    @staticmethod
+    def _global_keys(meta):
+        """(img_id, flip) key per row of the GLOBAL batch plan."""
+        flips = getattr(meta, "flips", [False] * len(meta))
+        return list(zip(list(meta), flips))
+
+    def _fill_pseudo_cache(self, batch: DetBatch, keys):
+        """Run the jitted teacher on the (device) batch and cache every
+        global row; returns the device detections ready for the step.
+        After ``_fetch`` the rows are global on every process, so all
+        processes cache identically."""
+        dets = self.teacher_step(self._teacher_vars(), batch)
+        boxes = self._fetch(dets.boxes)
+        scores = self._fetch(dets.scores)
+        labels = self._fetch(dets.labels)
+        valid = self._fetch(dets.valid)
+        for i, key in enumerate(keys):
+            self._pseudo_cache[key] = (
+                boxes[i], scores[i], labels[i], valid[i]
+            )
+        return dets
+
+    def _cached_pseudo(self, batch: DetBatch, meta):
+        """Assemble this batch's teacher detections from the cache,
+        falling back to one live teacher run (which also fills the
+        cache) when any row is missing."""
+        keys = self._global_keys(meta)
+        if any(k not in self._pseudo_cache for k in keys):
+            return self._fill_pseudo_cache(batch, keys)
+        # rebuild the GLOBAL rows, then shard like the batch itself
+        P = self.det_cfg.max_per_img
+        B = self.train_loader.loader.local_batch
+        lo = self.train_loader.loader.shard_id * B
+        local = keys[lo : lo + B]
+        boxes = np.zeros((B, P, 4), np.float32)
+        scores = np.zeros((B, P), np.float32)
+        labels = np.full((B, P), -1, np.int32)
+        valid = np.zeros((B, P), bool)
+        for i, k in enumerate(local[:B]):
+            boxes[i], scores[i], labels[i], valid[i] = self._pseudo_cache[k]
+        return self._device_batch(InstanceArray(
+            boxes=boxes, labels=labels, valid=valid, scores=scores,
+        ))
+
+    def _precompute_pseudo_labels(self):
+        """Two deterministic passes (flip off / flip on) over the train
+        set with the jitted teacher; fills the (img_id, flip) cache."""
+        t0 = time.time()
+        tl_cfg = self.cfg.get("train_dataloader", {})
+        n_proc, proc_id = jax.process_count(), jax.process_index()
+        for force_flip in (False, True):
+            pre = DetLoader(
+                self.train_dataset,
+                batch_size=tl_cfg.get("batch_size", 16),
+                scale=tuple(self.cfg.get("img_scale", (1000, 600))),
+                training=False,
+                gt_capacity=self.cfg.get("gt_capacity", 64),
+                num_shards=n_proc,
+                shard_id=proc_id,
+                force_flip=force_flip,
+            )
+            for batch, meta in pre:
+                self._fill_pseudo_cache(
+                    self._device_batch(batch), self._global_keys(meta)
+                )
+        logger.info(
+            f"teacher pseudo-label cache: {len(self._pseudo_cache)} entries "
+            f"in {time.time() - t0:.1f}s"
+        )
+
+    def _train_batch_step(self, batch: DetBatch, meta, key):
+        """One optimizer step, routing the teacher through the cache
+        when enabled."""
+        if self.teacher_cache and self.state.teacher_params is not None:
+            dets = self._cached_pseudo(batch, meta)
+            return self.train_step(self.state, batch, key, dets)
+        return self.train_step(self.state, batch, key)
+
     def train(self):
         assert not self.cfg.get("resume", False) or self.task_id == 1, (
             "Resume is not allowed for task>1: the teacher is initialized "
@@ -547,10 +650,12 @@ class NullSpaceRunner:
         start_epoch = self._try_resume()
         profile_dir = self.cfg.get("profile_dir")
         if not self.is_trained:
+            if self.teacher_cache and self.state.teacher_params is not None:
+                self._precompute_pseudo_labels()
             log_f = open(log_path, "a")
             for epoch in range(start_epoch, self.max_epochs):
                 self.train_loader.set_epoch(epoch)
-                for it, (batch, _) in enumerate(self.train_loader):
+                for it, (batch, meta) in enumerate(self.train_loader):
                     if profile_dir and epoch == 0 and it == 10:
                         jax.profiler.start_trace(profile_dir)
                     if profile_dir and epoch == 0 and it == 15:
@@ -559,7 +664,7 @@ class NullSpaceRunner:
                     batch = self._device_batch(batch)
                     rng, key = jax.random.split(rng)
                     t0 = time.time()
-                    self.state, metrics = self.train_step(self.state, batch, key)
+                    self.state, metrics = self._train_batch_step(batch, meta, key)
                     if it % 50 == 0:
                         metrics = {k: float(v) for k, v in metrics.items()}
                         lr = float(self.lr_schedule(int(self.state.step)))
@@ -644,8 +749,13 @@ class NullSpaceRunner:
         return np.asarray(rep)
 
     # ------------------------------------------------------------------
-    def val(self) -> float:
+    def val(self, dump_to: Optional[str] = None) -> float:
+        """Run validation; with ``dump_to`` also pickle the per-image raw
+        detections (img_id, boxes, scores, labels) for offline analysis —
+        the reference's ``tools/test.py --out results.pkl`` DumpDetResults
+        path (mmdet/evaluation/metrics/dump_det_results.py)."""
         detections, annotations = [], []
+        dumped = [] if dump_to else None
         variables = self._variables()
         vis_budget = self.cfg.get("vis_images", 0)  # DetVisualizationHook
         for batch, img_ids in self.val_loader:
@@ -678,7 +788,12 @@ class NullSpaceRunner:
                         labels=self._fetch(dets.labels)[i][v],
                     )
                     img = np.asarray(batch.images[i])
-                    vis.add_datasample(str(img_ids[i]), img, pred)
+                    gv = np.asarray(batch.gt.valid[i])
+                    gt_panel = dict(
+                        boxes=np.asarray(batch.gt.boxes[i])[gv],
+                        labels=np.asarray(batch.gt.labels[i])[gv],
+                    )
+                    vis.add_datasample(str(img_ids[i]), img, pred, gt=gt_panel)
                 vis_budget -= n_real
             boxes = self._fetch(dets.boxes)
             scores = self._fetch(dets.scores)
@@ -690,7 +805,23 @@ class NullSpaceRunner:
                     m = valid[i] & (labels[i] == c)
                     per_cls[c] = (boxes[i][m], scores[i][m])
                 detections.append(per_cls)
+                if dumped is not None:
+                    v = valid[i]
+                    dumped.append(
+                        dict(
+                            img_id=img_ids[i],
+                            boxes=np.asarray(boxes[i][v]),
+                            scores=np.asarray(scores[i][v]),
+                            labels=np.asarray(labels[i][v]),
+                        )
+                    )
             annotations.extend(self._val_annotations(img_ids))
+        if dump_to and jax.process_index() == 0:
+            import pickle
+
+            with open(dump_to, "wb") as f:
+                pickle.dump(dumped, f)
+            logger.info(f"dumped {len(dumped)} per-image results to {dump_to}")
         metric = self.cfg.get("val_evaluator", {}).get("type", "VOCMetric")
         if metric == "CocoMetric":
             res = eval_coco_map(detections, annotations, self.det_cfg.num_classes)

@@ -124,6 +124,27 @@ def _raw_replay_inputs(teacher_model, state: "TrainState", rng: jax.Array,
     return feats, jax.lax.stop_gradient(t_cls)
 
 
+def make_teacher_step(teacher_model: FasterRCNN):
+    """Jitted frozen-teacher predict: (teacher_vars, batch) → padded
+    detections in CANVAS coordinates (rescale=False), exactly the tensor
+    the in-step pseudo-label path consumes. The teacher is deterministic
+    per (image, flip), so the runner caches these per (img_id, flip) and
+    feeds them back through ``make_train_step(external_teacher=True)``
+    instead of recomputing identical labels every epoch
+    (faster_rcnn_roi_replay.py:65-109 recomputes per step; nothing in the
+    protocol depends on that)."""
+
+    def fn(teacher_vars, batch: DetBatch):
+        batch = batch.replace(images=normalize_images(batch.images))
+        return jax.lax.stop_gradient(
+            teacher_model.apply(
+                teacher_vars, batch, False, method=teacher_model.predict
+            )
+        )
+
+    return jax.jit(fn)
+
+
 def make_train_step(
     model: FasterRCNN,
     optimizer: optax.GradientTransformation,
@@ -133,25 +154,35 @@ def make_train_step(
 ):
     """Build the jitted train step.
 
-    The returned function: (state, batch, rng) → (state, metrics).
+    The returned function: (state, batch, rng[, teacher_dets]) →
+    (state, metrics). When ``teacher_dets`` (precomputed canvas-space
+    teacher detections, see :func:`make_teacher_step`) is passed, the
+    in-graph teacher predict is skipped and the given detections feed
+    the pseudo-label merge instead.
     ``batch.images`` may be uint8 (normalized in-graph).
     ``clip_grad_norm`` mirrors mmengine OptimWrapper's ``clip_grad``
     (global-norm clipping before the optimizer update).
     """
 
-    def step_fn(state: TrainState, batch: DetBatch, rng: jax.Array):
+    def step_fn(state: TrainState, batch: DetBatch, rng: jax.Array,
+                teacher_dets=None):
         batch = batch.replace(images=normalize_images(batch.images))
 
         rpn_gt = roi_gt = None
-        if teacher_model is not None and state.teacher_params is not None:
-            teacher_vars = {
-                "params": state.teacher_params,
-                "batch_stats": state.batch_stats,
-            }
-            dets = teacher_model.apply(
-                teacher_vars, batch, False, method=teacher_model.predict
-            )
-            dets = jax.lax.stop_gradient(dets)
+        if teacher_dets is not None or (
+            teacher_model is not None and state.teacher_params is not None
+        ):
+            if teacher_dets is None:
+                teacher_vars = {
+                    "params": state.teacher_params,
+                    "batch_stats": state.batch_stats,
+                }
+                dets = teacher_model.apply(
+                    teacher_vars, batch, False, method=teacher_model.predict
+                )
+                dets = jax.lax.stop_gradient(dets)
+            else:
+                dets = jax.lax.stop_gradient(teacher_dets)
             rpn_gt, roi_gt = merge_pseudo_labels(
                 batch.gt, dets,
                 rpn_thresh=model.config.rpn_thresh,

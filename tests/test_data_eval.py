@@ -9,57 +9,6 @@ from nsgp_repre_tpu.evaluation import eval_coco_map, eval_voc_map
 from nsgp_repre_tpu.utils.config import load_config
 
 
-# ---------------------------------------------------------------------------
-# synthetic VOC fixture
-# ---------------------------------------------------------------------------
-
-VOC_XML = """<annotation>
-  <filename>{name}.jpg</filename>
-  <size><width>{w}</width><height>{h}</height><depth>3</depth></size>
-  {objects}
-</annotation>
-"""
-OBJ_XML = """<object>
-    <name>{cls}</name><difficult>{diff}</difficult>
-    <bndbox><xmin>{x1}</xmin><ymin>{y1}</ymin><xmax>{x2}</xmax><ymax>{y2}</ymax></bndbox>
-  </object>"""
-
-
-@pytest.fixture(scope="module")
-def voc_root(tmp_path_factory):
-    import cv2
-
-    root = tmp_path_factory.mktemp("VOCdevkit")
-    base = root / "VOC2007"
-    (base / "JPEGImages").mkdir(parents=True)
-    (base / "Annotations").mkdir()
-    (base / "ImageSets" / "Main").mkdir(parents=True)
-    rng = np.random.RandomState(0)
-    from nsgp_repre_tpu.datasets.voc import VOC_CLASSES
-
-    ids = []
-    for i in range(6):
-        name = f"{i:06d}"
-        w, h = (80, 60) if i % 2 == 0 else (60, 80)
-        img = rng.randint(0, 255, (h, w, 3), np.uint8)
-        cv2.imwrite(str(base / "JPEGImages" / f"{name}.jpg"), img)
-        objects = []
-        # image i gets classes i%20 and (i+15)%20
-        for cls_idx in (i % 20, (i + 15) % 20):
-            objects.append(
-                OBJ_XML.format(
-                    cls=VOC_CLASSES[cls_idx], diff=0,
-                    x1=5 + cls_idx % 3, y1=5, x2=40, y2=40,
-                )
-            )
-        xml = VOC_XML.format(name=name, w=w, h=h, objects="\n".join(objects))
-        (base / "Annotations" / f"{name}.xml").write_text(xml)
-        ids.append(name)
-    (base / "ImageSets" / "Main" / "trainval.txt").write_text("\n".join(ids))
-    (base / "ImageSets" / "Main" / "test.txt").write_text("\n".join(ids))
-    return str(root)
-
-
 class TestVOCDataset:
     def test_task_filtering(self, voc_root):
         ds = VOCTaskDataset(

@@ -18,6 +18,12 @@ def parse_args():
     p.add_argument("config")
     p.add_argument("checkpoint")
     p.add_argument("--work-dir")
+    p.add_argument(
+        "--out",
+        default=None,
+        help="pickle per-image raw detections to this path "
+        "(reference tools/test.py --out / DumpDetResults)",
+    )
     p.add_argument("--cfg-options", nargs="+", default=None)
     return p.parse_args()
 
@@ -31,7 +37,7 @@ def main():
     cfg["load_from"] = args.checkpoint
     cfg["is_trained"] = True
     runner = NullSpaceRunner(cfg)
-    mAP = runner.val()
+    mAP = runner.val(dump_to=args.out)
     print(f"mAP: {mAP:.4f}")
 
 
