@@ -116,7 +116,44 @@ def _bench_train(task_id: int):
         state, m = train_step(state, batch, key)
     _sync(m["loss"])
     dt = time.perf_counter() - t0
-    return B * n_iters / dt
+    uncached = B * n_iters / dt
+    if task_id != 2:
+        return uncached
+
+    # ---- cached-teacher steady state (runner teacher_label_cache) ----
+    # The runner computes pseudo-labels once per (image, flip) in a
+    # 2-variant pre-pass and feeds them to the step from a host cache.
+    # Steady-state per-step cost = cached step (incl. the host->device
+    # upload _cached_pseudo pays every step) + the pre-pass teacher
+    # predict amortized over the schedule (2 variants / 12 epochs,
+    # schedule_1x).
+    from nsgp_repre_tpu.engine.train import make_teacher_step
+
+    teacher_step = make_teacher_step(teacher)
+    tvars = {"params": state.teacher_params, "batch_stats": state.batch_stats}
+    dets_dev = teacher_step(tvars, batch)
+    _sync(dets_dev.scores)
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        dets_dev = teacher_step(tvars, batch)
+    _sync(dets_dev.scores)
+    teacher_dt = (time.perf_counter() - t0) / n_iters
+
+    dets_host = jax.tree.map(lambda x: np.asarray(x), dets_dev)
+    dets = jax.tree.map(jnp.asarray, dets_host)
+    state, m = train_step(state, batch, key, dets)
+    _sync(m["loss"])
+    t0 = time.perf_counter()
+    for i in range(n_iters):
+        key = jax.random.fold_in(key, i)
+        # per-step host cache assembly + upload, as in runner._cached_pseudo
+        dets = jax.tree.map(lambda x: jnp.asarray(np.ascontiguousarray(x)), dets_host)
+        state, m = train_step(state, batch, key, dets)
+    _sync(m["loss"])
+    cached_dt = (time.perf_counter() - t0) / n_iters
+
+    amortized = cached_dt + (2.0 / 12.0) * teacher_dt
+    return B / amortized, uncached
 
 
 def _bench_infer(batch_size: int = 1):
@@ -162,7 +199,7 @@ def _bench_infer(batch_size: int = 1):
 
 def main():
     t1 = _bench_train(task_id=1)
-    t2 = _bench_train(task_id=2)
+    t2, t2_uncached = _bench_train(task_id=2)
     fps = _bench_infer()
     fps16 = _bench_infer(batch_size=16)
     print(
@@ -174,6 +211,7 @@ def main():
                 "vs_baseline": round(t1 / BASELINE_IMG_PER_SEC_PER_CHIP, 3),
                 "task2_train_img_per_sec": round(t2, 2),
                 "task2_vs_baseline": round(t2 / BASELINE_IMG_PER_SEC_PER_CHIP, 3),
+                "task2_uncached_img_per_sec": round(t2_uncached, 2),
                 "infer_fps_b1": round(fps, 2),
                 "infer_vs_baseline": round(fps / BASELINE_INFER_FPS, 3),
                 "infer_img_per_sec_b16": round(fps16, 2),

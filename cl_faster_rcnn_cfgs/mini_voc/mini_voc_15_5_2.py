@@ -1,0 +1,37 @@
+# NSGP-RePRE mini-VOC 15+5 task 2 — continual step on the offline
+# real-data regression set (see mini_voc_15_5_1.py for the protocol
+# deviations forced by the offline environment).
+_base_ = ["../incremental_task/cl_faster_rcnn_nsgp_repre_15_5_2.py"]
+
+data_root = "data/mini_voc/VOCdevkit"
+
+# list elements replace on merge (mmengine semantics) — restate the
+# full leaf dataset dict
+train_dataloader = dict(
+    dataset=dict(dataset=dict(datasets=[dict(
+        type="VOCTask",
+        data_root=data_root,
+        ann_file="VOC2007/ImageSets/Main/trainval.txt",
+        data_prefix=dict(sub_data_root="VOC2007/"),
+        task_split=[0, 15, 20],
+        task_id=2,
+        filter_cfg=dict(filter_empty_gt=True, min_size=5, bbox_min_size=5),
+    )]))
+)
+val_dataloader = dict(dataset=dict(data_root=data_root))
+test_dataloader = val_dataloader
+
+model = dict(
+    backbone=dict(frozen_stages=-1),
+    roi_head=dict(previous_path="./work_dirs/mini_voc/mini_voc_15_5_1"),
+)
+
+train_cfg = dict(max_epochs=30)
+param_scheduler = [
+    dict(type="LinearLR", start_factor=0.001, by_epoch=False, begin=0, end=100),
+    dict(type="MultiStepLR", begin=0, end=30, by_epoch=True,
+         milestones=[20, 26], gamma=0.1),
+]
+
+previous_dir = "./work_dirs/mini_voc/mini_voc_15_5_1"
+work_dir = "./work_dirs/mini_voc/mini_voc_15_5_2"
