@@ -35,3 +35,17 @@ param_scheduler = [
 
 previous_dir = "./work_dirs/mini_voc/mini_voc_15_5_1"
 work_dir = "./work_dirs/mini_voc/mini_voc_15_5_2"
+
+# from-scratch training at lr 0.02 diverges once warmup completes
+# (NaN at epoch ~6 on the first run); halve the LR, stretch warmup and
+# clip gradients (the reference uses clip_grad for its from-scratch
+# ablations too)
+optim_wrapper = dict(
+    optimizer=dict(lr=0.01),
+    clip_grad=dict(max_norm=35, norm_type=2),
+)
+param_scheduler = [
+    dict(type="LinearLR", start_factor=0.001, by_epoch=False, begin=0, end=200),
+    dict(type="MultiStepLR", begin=0, end=30, by_epoch=True,
+         milestones=[20, 26], gamma=0.1),
+]
