@@ -17,6 +17,14 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent XLA compilation cache: the suite's cost is single-core
+# compiles of detector graphs (16 min cold); warm reruns skip them.
+_cache_dir = os.environ.get(
+    "NSGP_TEST_COMPILE_CACHE", "/root/.cache/nsgp_jax_test_cache"
+)
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 import numpy as np
 import pytest
 

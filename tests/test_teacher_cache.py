@@ -45,6 +45,7 @@ def _cfg(**kw):
         rcnn_num=16,
         max_per_img=8,
         replay_mode="raw",
+        backbone_blocks=(1, 1, 1, 1),  # cache semantics don't need R50
     )
     base.update(kw)
     return DetectorConfig(**base)
