@@ -198,6 +198,9 @@ def _bench_infer(batch_size: int = 1):
 
 
 def main():
+    from nsgp_repre_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     t1 = _bench_train(task_id=1)
     t2, t2_uncached = _bench_train(task_id=2)
     fps = _bench_infer()

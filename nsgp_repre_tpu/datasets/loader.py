@@ -13,6 +13,8 @@ part (6)). Normalization happens on device (engine/train.py).
 from __future__ import annotations
 
 import math
+import os
+from concurrent.futures import ThreadPoolExecutor
 from typing import Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -70,6 +72,20 @@ def flip_horizontal(img: np.ndarray, boxes: np.ndarray):
 
 def _round_up(x: int, m: int = 32) -> int:
     return int(math.ceil(x / m) * m)
+
+
+# Shared decode pool: cv2 imread/resize release the GIL, so threads give
+# near-linear speedup on the JPEG-decode-bound path (the reference uses
+# torch DataLoader worker *processes*; threads suffice without pickling).
+_DECODE_POOL: Optional[ThreadPoolExecutor] = None
+
+
+def _decode_pool() -> ThreadPoolExecutor:
+    global _DECODE_POOL
+    if _DECODE_POOL is None:
+        n = int(os.environ.get("NSGP_DECODE_THREADS", "16"))
+        _DECODE_POOL = ThreadPoolExecutor(max_workers=n)
+    return _DECODE_POOL
 
 
 class BatchMeta(list):
@@ -167,7 +183,7 @@ class DetLoader:
         labels = np.full((B, self.gt_capacity), -1, np.int32)
         valid = np.zeros((B, self.gt_capacity), bool)
 
-        for i, (rec, flip) in enumerate(items):
+        def _one(i: int, rec, flip: bool):
             img = load_image(rec["img_path"])
             b = rec["boxes"].copy()
             img, b, (ws, hs) = resize_keep_ratio(img, b, self.scale)
@@ -182,6 +198,12 @@ class DetLoader:
             boxes[i, :n] = b[:n]
             labels[i, :n] = rec["labels"][:n]
             valid[i, :n] = True
+
+        # each worker writes its own row i — no aliasing between tasks
+        list(_decode_pool().map(
+            lambda t: _one(*t),
+            [(i, rec, flip) for i, (rec, flip) in enumerate(items)],
+        ))
         # unused batch slots (last partial batch): zero images, no gt
         return DetBatch(
             images=images,

@@ -27,6 +27,7 @@ import numpy as np
 
 from ..datasets import CocoTaskDataset, DIORTaskDataset, VOCTaskDataset
 from ..datasets.loader import DetLoader
+from ..datasets.prefetch import PrefetchLoader
 from ..evaluation import eval_coco_map, eval_voc_map
 from ..models.detector import DetectorConfig, FasterRCNN
 from ..parallel.mesh import create_mesh, replicate, shard_batch
@@ -242,7 +243,6 @@ class NullSpaceRunner:
         self.train_dataset = build_dataset(_leaf_dataset(tl_cfg.get("dataset", {})))
         self.val_dataset = build_dataset(_leaf_dataset(vl_cfg.get("dataset", {})))
         scale = tuple(cfg.get("img_scale", (1000, 600)))
-        from ..datasets.prefetch import PrefetchLoader
 
         gt_capacity = cfg.get("gt_capacity", 64)
         # multi-host: each process loads only its slice of every global
@@ -259,8 +259,9 @@ class NullSpaceRunner:
             gt_capacity=gt_capacity,
             num_shards=n_proc,
             shard_id=proc_id,
-        ), buffer_size=tl_cfg.get("num_workers", 2))
-        self.val_loader = DetLoader(
+        ), buffer_size=tl_cfg.get("num_workers", 2),
+           transfer_fn=self._device_batch)
+        self.val_loader = PrefetchLoader(DetLoader(
             self.val_dataset,
             batch_size=vl_cfg.get("batch_size", tl_cfg.get("batch_size", 16)),
             scale=scale,
@@ -268,7 +269,7 @@ class NullSpaceRunner:
             gt_capacity=gt_capacity,
             num_shards=n_proc,
             shard_id=proc_id,
-        )
+        ), buffer_size=2, transfer_fn=self._val_transfer)
 
         # ---- schedule / optimizer ----
         opt_cfg = cfg.get("optim_wrapper", {}).get("optimizer", {})
@@ -488,13 +489,38 @@ class NullSpaceRunner:
         self.batch_stats = ckpt_io.restore_into(self.batch_stats, stats, strict=False)
         logger.info(f"loaded torch backbone {path}")
 
-    def _save_checkpoint(self, name: str):
-        tree = {"params": self.state.params, "batch_stats": self.state.batch_stats}
+    def _save_checkpoint(self, name: str, host_tree=None):
+        """``host_tree`` lets the caller fetch the state once per epoch and
+        share it across the epoch/best/resume writes — three separate
+        device→host transfers of the full model otherwise dominate the
+        inter-epoch wall time on a tunneled TPU."""
+        tree = host_tree or {
+            "params": self.state.params, "batch_stats": self.state.batch_stats
+        }
+        tree = {"params": tree["params"], "batch_stats": tree["batch_stats"]}
         path = osp.join(self.work_dir, name)
         if self._is_main():
             ckpt_io.save_pytree(path, tree)
         self._barrier("ckpt:" + name)
         return path
+
+    def _fetch_host_state(self, with_slots: bool = False):
+        """One batched device→host fetch of everything the per-epoch
+        checkpoint writes need."""
+        tree = {
+            "params": self.state.params,
+            "batch_stats": self.state.batch_stats,
+        }
+        if with_slots:
+            st = self.state.opt_state
+            tree.update({
+                f"opt_{f}": getattr(st, f)
+                for f in st._fields
+                if f not in ("transforms", "count")
+            })
+            tree["count"] = st.count
+            tree["step"] = self.state.step
+        return jax.device_get(tree)
 
     def _variables(self):
         return {"params": self.state.params, "batch_stats": self.state.batch_stats}
@@ -504,24 +530,13 @@ class NullSpaceRunner:
     # resume (task 1 only — nsrunner:551 forbids task>1 resume because
     # the teacher is initialized from load_from)
     # ------------------------------------------------------------------
-    def _save_resume_state(self, epoch: int):
-        st = self.state.opt_state
+    def _save_resume_state(self, epoch: int, host_tree=None):
         # optimizer slot buffers, whatever the state type (NSCLState has
         # momentum; AdamNSCLState has mu/nu) — transforms are rebuilt from
         # the covariance artifact on restart, count is a scalar
-        slots = {
-            f"opt_{f}": getattr(st, f)
-            for f in st._fields
-            if f not in ("transforms", "count")
-        }
-        tree = {
-            "params": self.state.params,
-            "batch_stats": self.state.batch_stats,
-            **slots,
-            "count": st.count,
-            "step": self.state.step,
-            "epoch": jnp.asarray(epoch),
-        }
+        tree = host_tree or self._fetch_host_state(with_slots=True)
+        tree = dict(tree)
+        tree["epoch"] = np.asarray(epoch)
         ckpt_io.save_pytree(osp.join(self.work_dir, "resume_state.npz"), tree)
 
     def _try_resume(self) -> int:
@@ -622,10 +637,10 @@ class NullSpaceRunner:
                 shard_id=proc_id,
                 force_flip=force_flip,
             )
-            for batch, meta in pre:
-                self._fill_pseudo_cache(
-                    self._device_batch(batch), self._global_keys(meta)
-                )
+            for batch, meta in PrefetchLoader(
+                pre, buffer_size=2, transfer_fn=self._device_batch
+            ):
+                self._fill_pseudo_cache(batch, self._global_keys(meta))
         logger.info(
             f"teacher pseudo-label cache: {len(self._pseudo_cache)} entries "
             f"in {time.time() - t0:.1f}s"
@@ -686,9 +701,10 @@ class NullSpaceRunner:
                     logger.info(f"epoch {epoch}: mAP {mAP:.4f} (host RSS {rss:.1f} GiB)")
                 except ImportError:
                     logger.info(f"epoch {epoch}: mAP {mAP:.4f}")
-                self._save_checkpoint(f"epoch_{epoch}.npz")
+                host_tree = self._fetch_host_state(with_slots=self.task_id == 1)
+                self._save_checkpoint(f"epoch_{epoch}.npz", host_tree=host_tree)
                 if self.task_id == 1:
-                    self._save_resume_state(epoch)
+                    self._save_resume_state(epoch, host_tree=host_tree)
                 last = osp.join(self.work_dir, f"epoch_{epoch - 1}.npz")
                 if osp.exists(last):
                     os.remove(last)  # max_keep_ckpts=1
@@ -697,7 +713,9 @@ class NullSpaceRunner:
                         if f.startswith("best_"):
                             os.remove(osp.join(self.work_dir, f))
                     best_map = mAP
-                    self._save_checkpoint(f"best_mAP_epoch_{epoch}.npz")
+                    self._save_checkpoint(
+                        f"best_mAP_epoch_{epoch}.npz", host_tree=host_tree
+                    )
 
         if not self.is_trained:
             log_f.close()
@@ -706,7 +724,28 @@ class NullSpaceRunner:
         self.cal_fea_in()
         self.cal_rois()
 
-    def _device_batch(self, batch: DetBatch) -> DetBatch:
+    def _val_transfer(self, batch: DetBatch) -> DetBatch:
+        """Device placement for val batches: shard over the mesh when the
+        batch divides it (single-device eval on an 8-chip mesh wastes 7/8
+        of the fleet), else replicate on the default device."""
+        leaves = jax.tree.leaves(batch)
+        if leaves and isinstance(leaves[0], jax.Array) and not isinstance(
+            leaves[0], np.ndarray
+        ):
+            return batch
+        if self.mesh is not None and (
+            jax.process_count() > 1
+            or batch.images.shape[0] % self.mesh.size == 0
+        ):
+            return self._device_batch(batch)
+        return jax.tree.map(jnp.asarray, batch)
+
+    def _device_batch(self, batch) -> DetBatch:
+        leaves = jax.tree.leaves(batch)
+        if leaves and isinstance(leaves[0], jax.Array) and not isinstance(
+            leaves[0], np.ndarray
+        ):
+            return batch  # already transferred (PrefetchLoader transfer_fn)
         if jax.process_count() > 1 and self.mesh is not None:
             # each process holds its contiguous rows of the global batch;
             # assemble per-leaf global arrays over the full mesh (the
@@ -760,18 +799,10 @@ class NullSpaceRunner:
         vis_budget = self.cfg.get("vis_images", 0)  # DetVisualizationHook
         for batch, img_ids in self.val_loader:
             n_real = len(img_ids)
-            # shard the val batch over the mesh too (the loader pads the
-            # trailing batch to full size, so the leading dim always
-            # divides); single-device eval on an 8-chip mesh wastes 7/8
-            # of the fleet every epoch. In multi-process mode the batch
-            # is this process's LOCAL shard — always assemble globally.
-            if self.mesh is not None and (
-                jax.process_count() > 1
-                or batch.images.shape[0] % self.mesh.size == 0
-            ):
-                batch_dev = self._device_batch(batch)
-            else:
-                batch_dev = jax.tree.map(jnp.asarray, batch)
+            # upload normally happened in the PrefetchLoader worker
+            # (transfer_fn=_val_transfer); this is the idempotent fallback
+            # for plain DetLoader callers
+            batch_dev = self._val_transfer(batch)
             dets = self.eval_step(variables, batch_dev)
             if vis_budget > 0 and jax.process_index() == 0:
                 from ..visualization import DetLocalVisualizer
@@ -850,8 +881,8 @@ class NullSpaceRunner:
             )
         return out
 
-    def test(self) -> float:
-        mAP = self.val()
+    def test(self, dump_to: Optional[str] = None) -> float:
+        mAP = self.val(dump_to=dump_to)
         logger.info(f"test mAP: {mAP:.4f}")
         # nsrunner test() also recomputes artifacts (:624-625)
         self.cal_fea_in()

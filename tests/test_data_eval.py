@@ -60,6 +60,39 @@ class TestLoader:
         # two aspect buckets → two static shapes max
         assert len(seen_shapes) <= 2
 
+    def test_threaded_decode_matches_serial(self, voc_root, monkeypatch):
+        """The shared decode pool fans each batch row out to worker
+        threads; every thread writes only its own row, so the batch
+        content must be identical to a single-thread decode."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        from nsgp_repre_tpu.datasets import loader as loader_mod
+
+        ds = VOCTaskDataset(
+            voc_root, "VOC2007/ImageSets/Main/trainval.txt",
+            task_split=[0, 20], task_id=1,
+        )
+
+        def batches():
+            loader = DetLoader(ds, batch_size=4, scale=(100, 60),
+                               training=True, gt_capacity=8)
+            loader.set_epoch(0)
+            return [(b, ids) for b, ids in loader]
+
+        monkeypatch.setattr(loader_mod, "_DECODE_POOL",
+                            ThreadPoolExecutor(max_workers=1))
+        serial = batches()
+        monkeypatch.setattr(loader_mod, "_DECODE_POOL",
+                            ThreadPoolExecutor(max_workers=8))
+        threaded = batches()
+        assert len(serial) == len(threaded)
+        for (b1, ids1), (b2, ids2) in zip(serial, threaded):
+            assert list(ids1) == list(ids2)
+            np.testing.assert_array_equal(b1.images, b2.images)
+            np.testing.assert_array_equal(b1.gt.boxes, b2.gt.boxes)
+            np.testing.assert_array_equal(b1.gt.labels, b2.gt.labels)
+            np.testing.assert_array_equal(b1.gt.valid, b2.gt.valid)
+
     def test_deterministic_per_epoch(self, voc_root):
         ds = VOCTaskDataset(
             voc_root, "VOC2007/ImageSets/Main/trainval.txt",

@@ -43,6 +43,36 @@ def test_prefetch_loader_matches_plain():
     assert items == [0, 1, 2, 3, 4]
 
 
+def test_prefetch_transfer_fn_applied_in_worker():
+    """transfer_fn runs inside the worker thread on the batch half of
+    each item (the runner passes _device_batch to overlap uploads)."""
+    import threading
+
+    from nsgp_repre_tpu.datasets.prefetch import PrefetchLoader
+
+    class FakeLoader:
+        def set_epoch(self, e):
+            pass
+        def __len__(self):
+            return 3
+        def __iter__(self):
+            for i in range(3):
+                yield (np.full((2, 2), i), [i])
+
+    main_thread = threading.get_ident()
+    seen_threads = []
+
+    def xfer(batch):
+        seen_threads.append(threading.get_ident())
+        return batch + 100
+
+    pf = PrefetchLoader(FakeLoader(), buffer_size=2, transfer_fn=xfer)
+    out = list(pf)
+    assert [b[0, 0] for b, _ in out] == [100, 101, 102]
+    assert [ids[0] for _, ids in out] == [0, 1, 2]
+    assert all(t != main_thread for t in seen_threads)
+
+
 def test_prefetch_propagates_errors():
     from nsgp_repre_tpu.datasets.prefetch import PrefetchLoader
 

@@ -30,6 +30,9 @@ def parse_args():
 
 def main():
     logging.basicConfig(level=logging.INFO)
+    from nsgp_repre_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     args = parse_args()
     cfg = load_config(args.config, overrides=args.cfg_options)
     if args.work_dir:

@@ -44,8 +44,10 @@ def main():
         level=logging.INFO, format="%(asctime)s %(levelname)s %(message)s"
     )
     from nsgp_repre_tpu.parallel.mesh import maybe_init_distributed
+    from nsgp_repre_tpu.utils.compile_cache import enable_compile_cache
 
     maybe_init_distributed()
+    enable_compile_cache()
     args = parse_args()
     cfg = load_config(args.config, overrides=args.cfg_options)
     if args.work_dir:
