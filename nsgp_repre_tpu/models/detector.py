@@ -107,6 +107,12 @@ class DetectorConfig:
     # TPU-fast approximate top-k for proposal pre-NMS selection and
     # random-sampling priorities (ops/topk.py); disable for exact parity
     use_approx_topk: bool = True
+    # proposal-NMS implementation: 'matrix' = tiled Gauss-Seidel exact
+    # greedy (ops/nms.py::nms_matrix — N/tile sequential steps),
+    # 'pallas' = per-pick VMEM loop (max_per_img sequential steps),
+    # 'auto' = matrix on TPU (same keep sets; far fewer sequential steps
+    # when max_per_img is large)
+    rpn_nms_impl: str = "auto"
     # teacher fast path: the frozen teacher's RoIAlign uses a 1x1 sample
     # grid per bin instead of 2x2 (4x less gather traffic — the gather is
     # HBM-bound and dominates teacher predict). The reference runs
@@ -332,7 +338,16 @@ class FasterRCNN(nn.Module):
         boxes, scores, lvls, wh_ok = jax.lax.stop_gradient(
             jax.vmap(candidates_one)(cls_flat, reg_flat, img_shape)
         )
-        if _use_pallas():
+        impl = cfg.rpn_nms_impl
+        if impl == "auto":
+            impl = "matrix" if _use_pallas() else "xla"
+        if impl == "matrix":
+            from ..ops.nms import batched_nms_matrix
+
+            keep_idx, p_valid = batched_nms_matrix(
+                boxes, scores, lvls, wh_ok, cfg.rpn_nms_iou, cfg.rpn_max_per_img
+            )
+        elif impl == "pallas" and _use_pallas():
             keep_idx, p_valid = batched_nms_pallas(
                 boxes, scores, lvls, wh_ok, cfg.rpn_nms_iou, cfg.rpn_max_per_img
             )

@@ -64,6 +64,106 @@ def nms(
     return keep_idx, keep_valid
 
 
+def _pairwise_iou(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """(T, 4) x (N, 4) → (T, N) IoU, f32, no HBM-side gathers."""
+    x1 = jnp.maximum(a[:, None, 0], b[None, :, 0])
+    y1 = jnp.maximum(a[:, None, 1], b[None, :, 1])
+    x2 = jnp.minimum(a[:, None, 2], b[None, :, 2])
+    y2 = jnp.minimum(a[:, None, 3], b[None, :, 3])
+    inter = jnp.maximum(x2 - x1, 0.0) * jnp.maximum(y2 - y1, 0.0)
+    area_a = (a[:, 2] - a[:, 0]) * (a[:, 3] - a[:, 1])
+    area_b = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
+    union = jnp.maximum(area_a[:, None] + area_b[None, :] - inter, 1e-6)
+    return inter / union
+
+
+def nms_matrix(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    valid: jnp.ndarray,
+    iou_threshold: float,
+    max_out: int,
+    tile: int = 512,
+):
+    """Exact greedy NMS without the per-pick sequential loop.
+
+    Greedy NMS is the unique fixed point of
+    ``keep[j] = valid[j] & !any_{i<j}(keep[i] & iou(i,j) > thr)`` over
+    score-desc order (the suppression relation is strictly triangular,
+    so the recursion is well-founded). This evaluates it by block
+    Gauss-Seidel: process score-sorted candidates in tiles of ``tile``;
+    positions before the current tile are final, so one (T, N) IoU
+    block suppresses the tile by all earlier keeps, and a small Jacobi
+    fixed point (while_loop, converges in ≤ chain-depth iterations)
+    resolves suppression within the tile. Sequential depth collapses
+    from ``max_out`` picks to ``N/tile`` tile steps × a few fixed-point
+    iterations; every IoU block is built on the fly from the (N, 4)
+    boxes, so nothing N×N ever hits HBM.
+
+    Same contract as ``nms``: (keep_idx (max_out,) int32 in
+    descending-score pick order, keep_valid (max_out,) bool). Bit-equal
+    keep sets incl. score-tie handling (stable sort = lowest original
+    index first, matching argmax tie-breaking).
+    """
+    n = boxes.shape[0]
+    ms = jnp.where(valid, scores, NEG_INF).astype(jnp.float32)
+    order = jnp.argsort(-ms, stable=True)
+    sb = boxes.astype(jnp.float32)[order]
+    vs = jnp.take(ms, order) > NEG_INF / 2
+
+    T = min(tile, n)
+    n_pad = (n + T - 1) // T * T
+    if n_pad != n:
+        sb = jnp.pad(sb, ((0, n_pad - n), (0, 0)))
+        vs = jnp.pad(vs, (0, n_pad - n))
+    n_tiles = n_pad // T
+    pos = jnp.arange(n_pad)
+    tri = pos[:T, None] < pos[None, :T]  # i suppresses j within tile iff i<j
+
+    def outer(t, keep):
+        start = t * T
+        tb = jax.lax.dynamic_slice(sb, (start, 0), (T, 4))
+        iou_all = _pairwise_iou(tb, sb)  # (T, n_pad)
+        earlier_kept = keep & (pos < start)
+        sup0 = jnp.any((iou_all > iou_threshold) & earlier_kept[None, :], axis=1)
+        k0 = jax.lax.dynamic_slice(vs, (start,), (T,)) & ~sup0
+        iou_tile = jax.lax.dynamic_slice(iou_all, (0, start), (T, T))
+        supm = (tri & (iou_tile > iou_threshold)).astype(jnp.float32)
+
+        def cond(c):
+            i, k, prev = c
+            return (i < T) & jnp.any(k != prev)
+
+        def body(c):
+            i, k, _ = c
+            s = (k.astype(jnp.float32) @ supm) > 0.5
+            return i + 1, k0 & ~s, k
+
+        _, k, _ = jax.lax.while_loop(cond, body, (0, k0, ~k0))
+        return jax.lax.dynamic_update_slice(keep, k, (start,))
+
+    keep = jax.lax.fori_loop(0, n_tiles, outer, jnp.zeros((n_pad,), bool))
+
+    # first max_out kept positions in sorted (= pick) order
+    sel = jnp.argsort(~keep, stable=True)[:max_out]
+    keep_valid = jnp.take(keep, sel)
+    keep_idx = jnp.where(keep_valid, jnp.take(order, sel[:max_out] % n), 0)
+    return keep_idx.astype(jnp.int32), keep_valid
+
+
+def batched_nms_matrix(boxes, scores, idxs, valid, iou_threshold, max_out,
+                       tile: int = 512):
+    """Class/level-aware ``nms_matrix`` via the coordinate-offset trick,
+    vmapped over the leading batch dim (same contract as
+    ``nms_pallas.batched_nms_pallas``)."""
+    max_coord = jnp.max(jnp.where(valid[..., None], boxes, 0.0)) + 1.0
+    offsets = idxs.astype(boxes.dtype) * max_coord
+    shifted = boxes + offsets[..., None]
+    return jax.vmap(
+        lambda b, s, v: nms_matrix(b, s, v, iou_threshold, max_out, tile=tile)
+    )(shifted, scores, valid)
+
+
 def batched_nms(
     boxes: jnp.ndarray,
     scores: jnp.ndarray,

@@ -112,6 +112,25 @@ class TestDetector:
         lab = np.asarray(dets.labels)[np.asarray(dets.valid)]
         assert (lab < 2).all()
 
+    def test_matrix_rpn_nms_matches_default(self, model_and_vars):
+        """rpn_nms_impl='matrix' (the TPU default via 'auto') must
+        produce the same predictions as the sequential XLA path."""
+        model, variables, batch = model_and_vars
+        dets_ref = model.apply(variables, batch, method=model.predict)
+        m2 = FasterRCNN(config=tiny_config(rpn_nms_impl="matrix"))
+        dets = m2.apply(variables, batch, method=m2.predict)
+        np.testing.assert_array_equal(
+            np.asarray(dets_ref.valid), np.asarray(dets.valid)
+        )
+        v = np.asarray(dets_ref.valid)
+        np.testing.assert_allclose(
+            np.asarray(dets_ref.boxes)[v], np.asarray(dets.boxes)[v],
+            rtol=0, atol=0,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(dets_ref.labels)[v], np.asarray(dets.labels)[v]
+        )
+
     def test_loss_is_differentiable(self, model_and_vars):
         model, variables, batch = model_and_vars
         params = variables["params"]

@@ -1,6 +1,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from nsgp_repre_tpu.ops import (
     AnchorGenerator,
@@ -192,6 +193,88 @@ class TestRoIPool:
         f[0, 1, 1, 0] = 5.0
         out = roi_pool(jnp.asarray(f), jnp.array([[0.0, 0, 4, 4]]), jnp.array([0]), output_size=2)
         assert float(np.asarray(out).max()) == 5.0
+
+
+class TestMatrixNMS:
+    """nms_matrix must be pick-for-pick identical to the sequential
+    greedy loop (same keep indices, same order, same validity)."""
+
+    def _random_case(self, seed, n, spread=80.0, tie_frac=0.0):
+        rng = np.random.RandomState(seed)
+        xy = rng.uniform(0, spread, (n, 2)).astype(np.float32)
+        wh = rng.uniform(4, 40, (n, 2)).astype(np.float32)
+        boxes = np.concatenate([xy, xy + wh], axis=1)
+        scores = rng.uniform(0, 1, n).astype(np.float32)
+        if tie_frac:
+            k = max(2, int(n * tie_frac))
+            scores[:k] = 0.5  # score ties → index tie-break must match
+        valid = rng.uniform(0, 1, n) > 0.1
+        return jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(valid)
+
+    @pytest.mark.parametrize("seed,n,tile", [
+        (0, 7, 512), (1, 130, 64), (2, 600, 512), (3, 1300, 512),
+        (4, 600, 128), (5, 513, 512),
+    ])
+    def test_matches_sequential_greedy(self, seed, n, tile):
+        from nsgp_repre_tpu.ops.nms import nms_matrix
+
+        boxes, scores, valid = self._random_case(seed, n)
+        for thr, max_out in [(0.5, n), (0.7, max(1, n // 3))]:
+            ref_idx, ref_valid = nms(boxes, scores, valid, thr, max_out)
+            got_idx, got_valid = nms_matrix(
+                boxes, scores, valid, thr, max_out, tile=tile
+            )
+            np.testing.assert_array_equal(ref_valid, got_valid)
+            np.testing.assert_array_equal(
+                np.where(ref_valid, ref_idx, 0), np.where(got_valid, got_idx, 0)
+            )
+
+    def test_score_ties_break_by_index(self):
+        from nsgp_repre_tpu.ops.nms import nms_matrix
+
+        boxes, scores, valid = self._random_case(7, 200, spread=30.0,
+                                                 tie_frac=0.5)
+        ref_idx, ref_valid = nms(boxes, scores, valid, 0.5, 200)
+        got_idx, got_valid = nms_matrix(boxes, scores, valid, 0.5, 200)
+        np.testing.assert_array_equal(ref_valid, got_valid)
+        np.testing.assert_array_equal(
+            np.where(ref_valid, ref_idx, 0), np.where(got_valid, got_idx, 0)
+        )
+
+    def test_all_invalid_and_degenerate(self):
+        from nsgp_repre_tpu.ops.nms import nms_matrix
+
+        boxes = jnp.zeros((16, 4), jnp.float32)  # zero-area boxes
+        scores = jnp.linspace(1.0, 0.1, 16)
+        idx, kv = nms_matrix(boxes, scores, jnp.zeros(16, bool), 0.5, 8)
+        assert not bool(kv.any())
+        # degenerate but valid: zero-area boxes have IoU 0 → all kept
+        idx, kv = nms_matrix(boxes, scores, jnp.ones(16, bool), 0.5, 8)
+        ref_idx, ref_kv = nms(boxes, scores, jnp.ones(16, bool), 0.5, 8)
+        np.testing.assert_array_equal(ref_kv, kv)
+        np.testing.assert_array_equal(ref_idx, idx)
+
+    def test_batched_matches_vmapped_reference(self):
+        from nsgp_repre_tpu.ops.nms import batched_nms_matrix
+
+        rng = np.random.RandomState(11)
+        B, n = 3, 300
+        xy = rng.uniform(0, 60, (B, n, 2)).astype(np.float32)
+        wh = rng.uniform(4, 30, (B, n, 2)).astype(np.float32)
+        boxes = jnp.asarray(np.concatenate([xy, xy + wh], axis=2))
+        scores = jnp.asarray(rng.uniform(0, 1, (B, n)).astype(np.float32))
+        idxs = jnp.asarray(rng.randint(0, 5, (B, n)).astype(np.int32))
+        valid = jnp.asarray(rng.uniform(0, 1, (B, n)) > 0.2)
+        ref_idx, ref_valid = jax.vmap(
+            lambda b, s, l, v: batched_nms(b, s, l, v, 0.7, 100)
+        )(boxes, scores, idxs, valid)
+        got_idx, got_valid = batched_nms_matrix(
+            boxes, scores, idxs, valid, 0.7, 100, tile=128
+        )
+        np.testing.assert_array_equal(ref_valid, got_valid)
+        np.testing.assert_array_equal(
+            np.where(ref_valid, ref_idx, 0), np.where(got_valid, got_idx, 0)
+        )
 
 
 class TestSoftNMS:
