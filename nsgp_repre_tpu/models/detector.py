@@ -113,6 +113,14 @@ class DetectorConfig:
     # 'auto' = matrix on TPU (same keep sets; far fewer sequential steps
     # when max_per_img is large)
     rpn_nms_impl: str = "auto"
+    # sparse RPN loss path: the RPN losses only read the ~rpn_num sampled
+    # anchors per image, so the loss-path logits are re-evaluated at the
+    # sampled positions via 3x3 patch gather + matmul
+    # (rpn_head.at_positions) and the dense full-pyramid head runs
+    # forward-only (proposals + covariance taps). Same math/gradients as
+    # backpropagating the dense convs, at ~zero backward cost. Disable
+    # for the all-dense reference-shaped graph.
+    rpn_sparse_loss: bool = True
     # teacher fast path: the frozen teacher's RoIAlign uses a 1x1 sample
     # grid per bin instead of 2x2 (4x less gather traffic — the gather is
     # HBM-bound and dominates teacher predict). The reference runs
@@ -240,7 +248,14 @@ class FasterRCNN(nn.Module):
         with_loss: bool = True,
     ):
         cfg = self.config
-        cls_maps, reg_maps = self.rpn_head(feats)
+        # sparse loss mode: the dense head runs forward-only (proposals
+        # are stop_gradient'd data + the covariance taps fire here);
+        # loss-path logits are re-evaluated sparsely below
+        sparse = with_loss and cfg.rpn_sparse_loss
+        head_in = (
+            tuple(jax.lax.stop_gradient(f) for f in feats) if sparse else feats
+        )
+        cls_maps, reg_maps = self.rpn_head(head_in)
         anchors, sizes = self._anchors(feats)
         B = cls_maps[0].shape[0]
         A = cfg.num_base_priors
@@ -305,14 +320,101 @@ class FasterRCNN(nn.Module):
                 )
             label_w = (pos | neg).astype(jnp.float32)
             avg = jnp.maximum(label_w.sum(), 1.0)
-            losses["loss_rpn_cls"] = weighted_sigmoid_bce(
-                cls_flat, pos.astype(jnp.float32), label_w, avg
-            )
-            losses["loss_rpn_bbox"] = weighted_l1(
-                reg_flat, tgt, pos[..., None].astype(jnp.float32), avg
-            )
+            if sparse:
+                cls_s, reg_s, pos_s, w_s, tgt_s = self._rpn_sparse_logits(
+                    feats, pos, neg, tgt, level_sizes
+                )
+                losses["loss_rpn_cls"] = weighted_sigmoid_bce(
+                    cls_s, pos_s, w_s, avg
+                )
+                losses["loss_rpn_bbox"] = weighted_l1(
+                    reg_s, tgt_s, pos_s[..., None], avg
+                )
+            else:
+                losses["loss_rpn_cls"] = weighted_sigmoid_bce(
+                    cls_flat, pos.astype(jnp.float32), label_w, avg
+                )
+                losses["loss_rpn_bbox"] = weighted_l1(
+                    reg_flat, tgt, pos[..., None].astype(jnp.float32), avg
+                )
 
         # ---- proposals (rpn_head.py:136-306) ----
+        return self._rpn_proposals_from_maps(
+            cls_flat, reg_flat, level_sizes, anchors, img_shape, losses, B
+        )
+
+    def _rpn_sparse_logits(self, feats, pos, neg, tgt, level_sizes):
+        """Loss-path RPN logits at the sampled anchors only.
+
+        The sampled set (pos|neg, ≤ rpn_num per image) is data — it
+        depends on anchors/gt, never on predictions — so the loss can
+        gather the 3x3 input windows at those positions and evaluate the
+        head as matmuls (rpn_head.at_positions). Gradients are exactly
+        the dense path's: the dense conv backward is zero at every
+        unsampled position.
+
+        Returns (cls (B,S), reg (B,S,4), pos (B,S), weight (B,S),
+        tgt (B,S,4)) f32, S = rpn_num.
+        """
+        cfg = self.config
+        A = cfg.num_base_priors
+        B = pos.shape[0]
+        S = cfg.rpn_num
+        sel = pos | neg
+        # indices of the sampled anchors (ties → lowest index; slots
+        # beyond the sampled count get weight 0)
+        selv, idx = jax.lax.top_k(sel.astype(jnp.float32), S)  # (B, S)
+        w_s = jnp.take_along_axis(sel, idx, axis=1).astype(jnp.float32) * selv
+        pos_s = jnp.take_along_axis(pos, idx, axis=1).astype(jnp.float32) * selv
+        tgt_s = jnp.take_along_axis(tgt, idx[..., None], axis=1)
+
+        # flat anchor index → (level, y, x, a); level layout is
+        # (y, x, a) with a fastest and offsets are multiples of A
+        offsets = [0]
+        for n_l in level_sizes:
+            offsets.append(offsets[-1] + n_l)
+        a_idx = idx % A
+
+        C = feats[0].shape[-1]
+        dt = feats[0].dtype
+        d3 = jnp.arange(-1, 2)
+        patches = jnp.zeros((B, S, 9, C), dt)
+        for l, f in enumerate(feats):
+            fh, fw = f.shape[1], f.shape[2]
+            in_l = (idx >= offsets[l]) & (idx < offsets[l + 1])
+            hw = (idx - offsets[l]) // A
+            y = hw // fw
+            x = hw % fw
+            yy = y[..., None, None] + d3[:, None]  # (B, S, 3, 1)
+            xx = x[..., None, None] + d3[None, :]  # (B, S, 1, 3)
+            ok = (
+                (yy >= 0) & (yy < fh) & (xx >= 0) & (xx < fw)
+                & in_l[..., None, None]
+            )  # (B, S, 3, 3)
+            p = jnp.clip(yy, 0, fh - 1) * fw + jnp.clip(xx, 0, fw - 1)
+            g = jnp.take_along_axis(
+                f.reshape(B, fh * fw, C),
+                p.reshape(B, S * 9, 1),
+                axis=1,
+            ).reshape(B, S, 9, C)
+            patches = patches + g * ok.reshape(B, S, 9, 1).astype(dt)
+
+        cls_m, reg_m = self.rpn_head.at_positions(
+            patches.reshape(B * S, 3, 3, C)
+        )
+        onehot = jax.nn.one_hot(a_idx, A, dtype=jnp.float32)  # (B, S, A)
+        cls_s = (cls_m.astype(jnp.float32).reshape(B, S, A) * onehot).sum(-1)
+        reg_s = (
+            reg_m.astype(jnp.float32).reshape(B, S, A, 4)
+            * onehot[..., None]
+        ).sum(2)
+        return cls_s, reg_s, pos_s, w_s, tgt_s
+
+    def _rpn_proposals_from_maps(
+        self, cls_flat, reg_flat, level_sizes, anchors, img_shape, losses, B
+    ):
+        cfg = self.config
+
         def candidates_one(cls_i, reg_i, shape):
             boxes_l, scores_l, lvl_l = [], [], []
             off = 0

@@ -112,6 +112,46 @@ class TestDetector:
         lab = np.asarray(dets.labels)[np.asarray(dets.valid)]
         assert (lab < 2).all()
 
+    def test_sparse_rpn_loss_matches_dense(self, model_and_vars):
+        """rpn_sparse_loss=True (the default) must reproduce the dense
+        path's loss values AND parameter gradients — the sparse gather
+        is the dense conv restricted to the sampled positions."""
+        _, variables, batch = model_and_vars
+        m_dense = FasterRCNN(config=tiny_config(rpn_sparse_loss=False))
+        m_sparse = FasterRCNN(config=tiny_config(rpn_sparse_loss=True))
+        key = jax.random.PRNGKey(3)
+
+        def total(model, params):
+            losses = model.apply(
+                {**variables, "params": params}, batch, key, method=model.loss
+            )
+            return sum(
+                v for k, v in losses.items() if k.startswith("loss_rpn")
+            )
+
+        ld, gd = jax.value_and_grad(lambda p: total(m_dense, p))(
+            variables["params"]
+        )
+        ls, gs = jax.value_and_grad(lambda p: total(m_sparse, p))(
+            variables["params"]
+        )
+        np.testing.assert_allclose(float(ld), float(ls), rtol=1e-5)
+        flat_d = jax.tree_util.tree_leaves_with_path(gd)
+        flat_s = {jax.tree_util.keystr(k): v
+                  for k, v in jax.tree_util.tree_leaves_with_path(gs)}
+        checked = 0
+        for k, vd in flat_d:
+            ks = jax.tree_util.keystr(k)
+            vs = flat_s[ks]
+            scale = max(float(jnp.abs(vd).max()), 1e-8)
+            np.testing.assert_allclose(
+                np.asarray(vd), np.asarray(vs), atol=2e-5 * scale, rtol=1e-4,
+                err_msg=ks,
+            )
+            if float(jnp.abs(vd).max()) > 0:
+                checked += 1
+        assert checked > 10  # rpn head + backbone + fpn all get gradient
+
     def test_matrix_rpn_nms_matches_default(self, model_and_vars):
         """rpn_nms_impl='matrix' (the TPU default via 'auto') must
         produce the same predictions as the sequential XLA path."""
