@@ -359,7 +359,9 @@ class FasterRCNN(nn.Module):
         cfg = self.config
         A = cfg.num_base_priors
         B = pos.shape[0]
-        S = cfg.rpn_num
+        # tiny single-level trunks (C4 test shapes) can have fewer
+        # anchors than the sample budget
+        S = min(cfg.rpn_num, pos.shape[1])
         sel = pos | neg
         # indices of the sampled anchors (ties → lowest index; slots
         # beyond the sampled count get weight 0)

@@ -72,6 +72,10 @@ class CovConv(nn.Module):
     bias_init: nn.initializers.Initializer = nn.initializers.zeros_init()
     dtype: Optional[jnp.dtype] = None
     dilation: Tuple[int, int] = (1, 1)
+    # evaluate via space-to-depth (stride-2 convs only; exact — see
+    # _conv_s2d). The covariance tap below is untouched: it unfolds the
+    # ORIGINAL input with the original kernel geometry either way.
+    s2d: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -88,18 +92,73 @@ class CovConv(nn.Module):
             jnp.float32,
         )
         dtype = self.dtype or x.dtype
-        y = jax.lax.conv_general_dilated(
-            x.astype(dtype),
-            kernel.astype(dtype),
-            window_strides=self.strides,
-            padding=[(self.padding[0], self.padding[0]), (self.padding[1], self.padding[1])],
-            rhs_dilation=self.dilation,
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
+        if self.s2d:
+            y = _conv_s2d(
+                x.astype(dtype), kernel.astype(dtype),
+                self.kernel_size, self.strides, self.padding,
+            )
+        else:
+            y = jax.lax.conv_general_dilated(
+                x.astype(dtype),
+                kernel.astype(dtype),
+                window_strides=self.strides,
+                padding=[(self.padding[0], self.padding[0]), (self.padding[1], self.padding[1])],
+                rhs_dilation=self.dilation,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
         if self.use_bias:
             bias = self.param("bias", self.bias_init, (self.features,), jnp.float32)
             y = y + bias.astype(dtype)
         return y
+
+
+def _conv_s2d(x, kernel, kernel_size, strides, padding):
+    """Stride-2 conv via space-to-depth (the MLPerf ResNet stem trick).
+
+    A (kh, kw)/2 conv on few input channels wastes the MXU (the 3-channel
+    stem pads its contraction lanes ~everywhere). Rewriting
+    ``2i + t = 2(i + p) + a`` (t = tap offset, a ∈ {0,1}) turns it into a
+    stride-1 ceil(.)x conv over the 2x2 space-to-depth input with a
+    re-scattered kernel — bit-identical outputs, 4x fewer spatial
+    positions, 4x more input channels. Only wired for stride (2, 2) and
+    even input sizes (the 32-divisible canvas guarantees this).
+    """
+    kh, kw, cin, f = kernel.shape
+    ph, pw = padding
+    B, H, W, C = x.shape
+    assert strides == (2, 2) and H % 2 == 0 and W % 2 == 0
+    x2 = x.reshape(B, H // 2, 2, W // 2, 2, C)
+    x2 = x2.transpose(0, 1, 3, 2, 4, 5).reshape(B, H // 2, W // 2, 4 * C)
+
+    # k2[p - p_lo, q - q_lo, (a, b, c), f] = kernel[2p + a + ph, 2q + b + pw]
+    # taps: t = 2p + a - ph for output 2i → valid p range from t ∈ [0, kh)
+    def ranges(k, p):
+        lo = -(p // 2) - (p % 2)  # floor((-p)/2) with a ∈ {0,1} slack
+        hi = (k - 1 - p) // 2
+        return lo, hi
+
+    p_lo, p_hi = ranges(kh, ph)
+    q_lo, q_hi = ranges(kw, pw)
+    nh, nw = p_hi - p_lo + 1, q_hi - q_lo + 1
+    k2 = jnp.zeros((nh, nw, 2, 2, cin, f), kernel.dtype)
+    for p in range(p_lo, p_hi + 1):
+        for a in range(2):
+            u = 2 * p + a + ph
+            if not 0 <= u < kh:
+                continue
+            for q in range(q_lo, q_hi + 1):
+                for b in range(2):
+                    v = 2 * q + b + pw
+                    if not 0 <= v < kw:
+                        continue
+                    k2 = k2.at[p - p_lo, q - q_lo, a, b].set(kernel[u, v])
+    k2 = k2.reshape(nh, nw, 4 * cin, f)
+    return jax.lax.conv_general_dilated(
+        x2, k2,
+        window_strides=(1, 1),
+        padding=[(-p_lo, p_hi), (-q_lo, q_hi)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
 
 
 class CovDense(nn.Module):
