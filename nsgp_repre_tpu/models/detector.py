@@ -98,6 +98,8 @@ class DetectorConfig:
     # the reference shrinks R50→R18 (tests/test_detectors/test_two_stage.py:26)
     backbone_blocks: Tuple[int, ...] = (3, 4, 6, 3)
     frozen_stages: int = 1
+    # exact space-to-depth evaluation of the 7x7/2 stem (resnet.py)
+    stem_s2d: bool = False
     # replay (RePRE) — prototypes are injected as arrays at train time
     # teacher pseudo-label thresholds (rr_thresh; nsrunner:356)
     rpn_thresh: float = 0.5
@@ -158,6 +160,7 @@ class FasterRCNN(nn.Module):
         self.backbone = ResNet50(
             stage_blocks=cfg.backbone_blocks,
             frozen_stages=cfg.frozen_stages,
+            stem_s2d=cfg.stem_s2d,
             name="backbone",
         )
         self.neck = FPN(out_channels=256, num_outs=5, name="neck")

@@ -113,10 +113,14 @@ class ResNet50(nn.Module):
     strides: Optional[Sequence[int]] = None  # default (1, 2, 2, 2)
     dilations: Optional[Sequence[int]] = None  # default all-1
     out_indices: Optional[Sequence[int]] = None  # default: all stages
+    # evaluate the 7x7/2 stem via space-to-depth (exact; MXU-friendly
+    # contraction on 12 instead of 3 input channels) — layers._conv_s2d
+    stem_s2d: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, ...]:
-        y = CovConv(self.base_channels, (7, 7), (2, 2), (3, 3), use_bias=False, name="conv1")(x)
+        y = CovConv(self.base_channels, (7, 7), (2, 2), (3, 3),
+                    use_bias=False, s2d=self.stem_s2d, name="conv1")(x)
         y = FrozenBatchNorm(name="bn1")(y)
         y = nn.relu(y)
         # torch MaxPool2d(kernel=3, stride=2, padding=1)

@@ -40,6 +40,24 @@ def tiny_batch(rng=0, B=1, H=64, W=64, capacity=6):
 
 
 class TestBackbone:
+    def test_stem_s2d_exact(self):
+        """Space-to-depth stem must be bit-for-math equal to the direct
+        7x7/2 conv (same params, f32), including the asymmetric-padding
+        borders."""
+        from nsgp_repre_tpu.models.layers import CovConv
+
+        r = np.random.RandomState(0)
+        x = jnp.asarray(r.randn(2, 64, 96, 3).astype(np.float32))
+        m_ref = CovConv(8, (7, 7), (2, 2), (3, 3), use_bias=False)
+        m_s2d = CovConv(8, (7, 7), (2, 2), (3, 3), use_bias=False, s2d=True)
+        v = m_ref.init(jax.random.PRNGKey(0), x)
+        y_ref = m_ref.apply(v, x)
+        y_s2d = m_s2d.apply(v, x)
+        assert y_ref.shape == y_s2d.shape == (2, 32, 48, 8)
+        np.testing.assert_allclose(
+            np.asarray(y_ref), np.asarray(y_s2d), rtol=1e-6, atol=1e-5
+        )
+
     def test_resnet_shapes(self):
         model = ResNet50()
         x = jnp.zeros((1, 64, 64, 3))
