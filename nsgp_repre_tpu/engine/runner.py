@@ -153,6 +153,11 @@ def detector_config_from_cfg(cfg: Config) -> DetectorConfig:
             "roi_align_mode",
             "window" if cfg.get("use_approx_topk", True) else "gather",
         ),
+        rpn_nms_impl=cfg.get("rpn_nms_impl", "auto"),
+        rpn_sparse_loss=cfg.get(
+            "rpn_sparse_loss", cfg.get("use_approx_topk", True)
+        ),
+        stem_s2d=cfg.get("stem_s2d", False),
     )
 
 
