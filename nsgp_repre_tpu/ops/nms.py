@@ -144,10 +144,14 @@ def nms_matrix(
 
     keep = jax.lax.fori_loop(0, n_tiles, outer, jnp.zeros((n_pad,), bool))
 
-    # first max_out kept positions in sorted (= pick) order
-    sel = jnp.argsort(~keep, stable=True)[:max_out]
-    keep_valid = jnp.take(keep, sel)
-    keep_idx = jnp.where(keep_valid, jnp.take(order, sel[:max_out] % n), 0)
+    # first max_out kept positions in sorted (= pick) order; when there
+    # are fewer candidates than output slots, the extra slots are invalid
+    sel = jnp.argsort(~keep, stable=True)
+    if sel.shape[0] < max_out:
+        sel = jnp.pad(sel, (0, max_out - sel.shape[0]))
+    sel = sel[:max_out]
+    keep_valid = jnp.take(keep, sel) & (jnp.arange(max_out) < n_pad)
+    keep_idx = jnp.where(keep_valid, jnp.take(order, sel % n), 0)
     return keep_idx.astype(jnp.int32), keep_valid
 
 

@@ -254,6 +254,19 @@ class TestMatrixNMS:
         np.testing.assert_array_equal(ref_kv, kv)
         np.testing.assert_array_equal(ref_idx, idx)
 
+    def test_max_out_exceeds_candidates(self):
+        """More output slots than candidates: extra slots invalid, no
+        duplicated index-0 phantom (the C4 tiny-anchor-set shape)."""
+        from nsgp_repre_tpu.ops.nms import nms_matrix
+
+        boxes, scores, valid = self._random_case(9, 24)
+        ref_idx, ref_valid = nms(boxes, scores, valid, 0.5, 64)
+        got_idx, got_valid = nms_matrix(boxes, scores, valid, 0.5, 64)
+        np.testing.assert_array_equal(ref_valid, got_valid)
+        np.testing.assert_array_equal(
+            np.where(ref_valid, ref_idx, 0), np.where(got_valid, got_idx, 0)
+        )
+
     def test_batched_matches_vmapped_reference(self):
         from nsgp_repre_tpu.ops.nms import batched_nms_matrix
 
