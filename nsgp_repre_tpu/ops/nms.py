@@ -123,12 +123,17 @@ def nms_matrix(
     def outer(t, keep):
         start = t * T
         tb = jax.lax.dynamic_slice(sb, (start, 0), (T, 4))
-        iou_all = _pairwise_iou(tb, sb)  # (T, n_pad)
+        # single consumer per IoU block so XLA fuses the pairwise math
+        # straight into the reduction (nothing (T, N) hits HBM)
         earlier_kept = keep & (pos < start)
-        sup0 = jnp.any((iou_all > iou_threshold) & earlier_kept[None, :], axis=1)
+        sup0 = jnp.any(
+            (_pairwise_iou(tb, sb) > iou_threshold) & earlier_kept[None, :],
+            axis=1,
+        )
         k0 = jax.lax.dynamic_slice(vs, (start,), (T,)) & ~sup0
-        iou_tile = jax.lax.dynamic_slice(iou_all, (0, start), (T, T))
-        supm = (tri & (iou_tile > iou_threshold)).astype(jnp.float32)
+        supm = (tri & (_pairwise_iou(tb, tb) > iou_threshold)).astype(
+            jnp.float32
+        )
 
         def cond(c):
             i, k, prev = c
