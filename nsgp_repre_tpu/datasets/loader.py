@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import math
 import os
+import threading
 from concurrent.futures import ThreadPoolExecutor
 from typing import Iterator, List, Optional, Sequence, Tuple
 
@@ -78,13 +79,16 @@ def _round_up(x: int, m: int = 32) -> int:
 # near-linear speedup on the JPEG-decode-bound path (the reference uses
 # torch DataLoader worker *processes*; threads suffice without pickling).
 _DECODE_POOL: Optional[ThreadPoolExecutor] = None
+_DECODE_POOL_LOCK = threading.Lock()
 
 
 def _decode_pool() -> ThreadPoolExecutor:
     global _DECODE_POOL
     if _DECODE_POOL is None:
-        n = int(os.environ.get("NSGP_DECODE_THREADS", "16"))
-        _DECODE_POOL = ThreadPoolExecutor(max_workers=n)
+        with _DECODE_POOL_LOCK:  # train/val prefetch workers race here
+            if _DECODE_POOL is None:
+                n = max(1, int(os.environ.get("NSGP_DECODE_THREADS", "16")))
+                _DECODE_POOL = ThreadPoolExecutor(max_workers=n)
     return _DECODE_POOL
 
 

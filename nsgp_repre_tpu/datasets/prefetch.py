@@ -38,6 +38,19 @@ class PrefetchLoader:
         q: queue.Queue = queue.Queue(maxsize=self.buffer_size)
         sentinel = object()
         error = []
+        stop = threading.Event()
+
+        def put(item) -> bool:
+            # bounded put so a consumer that stopped iterating early
+            # (max_batches caps, benchmark break) releases the worker —
+            # otherwise it would pin buffer_size uploaded batches forever
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def worker():
             try:
@@ -45,19 +58,28 @@ class PrefetchLoader:
                     if self.transfer_fn is not None:
                         batch, meta = item
                         item = (self.transfer_fn(batch), meta)
-                    q.put(item)
+                    if not put(item):
+                        return
             except BaseException as e:  # surface worker errors to the consumer
                 error.append(e)
             finally:
-                q.put(sentinel)
+                put(sentinel)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                break
-            yield item
-        t.join()
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    break
+                yield item
+        finally:
+            stop.set()
+            while True:  # drain so the worker's pending put unblocks
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break
+            t.join()
         if error:
             raise error[0]

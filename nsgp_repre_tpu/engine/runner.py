@@ -816,6 +816,13 @@ class NullSpaceRunner:
                     osp.join(self.work_dir, "vis_data"),
                     class_names=getattr(self.val_dataset, "classes", None),
                 )
+                # the batch is device-resident (PrefetchLoader uploads in
+                # its worker; globally sharded under multi-process) —
+                # route every read through _fetch, as for dets
+                imgs_h = self._fetch(batch_dev.images)
+                gtv_h = self._fetch(batch_dev.gt.valid)
+                gtb_h = self._fetch(batch_dev.gt.boxes)
+                gtl_h = self._fetch(batch_dev.gt.labels)
                 for i in range(min(n_real, vis_budget)):
                     v = self._fetch(dets.valid)[i]
                     pred = dict(
@@ -823,13 +830,14 @@ class NullSpaceRunner:
                         scores=self._fetch(dets.scores)[i][v],
                         labels=self._fetch(dets.labels)[i][v],
                     )
-                    img = np.asarray(batch.images[i])
-                    gv = np.asarray(batch.gt.valid[i])
+                    gv = gtv_h[i]
                     gt_panel = dict(
-                        boxes=np.asarray(batch.gt.boxes[i])[gv],
-                        labels=np.asarray(batch.gt.labels[i])[gv],
+                        boxes=gtb_h[i][gv],
+                        labels=gtl_h[i][gv],
                     )
-                    vis.add_datasample(str(img_ids[i]), img, pred, gt=gt_panel)
+                    vis.add_datasample(
+                        str(img_ids[i]), imgs_h[i], pred, gt=gt_panel
+                    )
                 vis_budget -= n_real
             boxes = self._fetch(dets.boxes)
             scores = self._fetch(dets.scores)

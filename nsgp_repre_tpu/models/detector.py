@@ -369,8 +369,8 @@ class FasterRCNN(nn.Module):
         # indices of the sampled anchors (ties → lowest index; slots
         # beyond the sampled count get weight 0)
         selv, idx = jax.lax.top_k(sel.astype(jnp.float32), S)  # (B, S)
-        w_s = jnp.take_along_axis(sel, idx, axis=1).astype(jnp.float32) * selv
-        pos_s = jnp.take_along_axis(pos, idx, axis=1).astype(jnp.float32) * selv
+        w_s = selv  # top-k values of a 0/1 mask ARE the sampled weights
+        pos_s = jnp.take_along_axis(pos, idx, axis=1).astype(jnp.float32)
         tgt_s = jnp.take_along_axis(tgt, idx[..., None], axis=1)
 
         # flat anchor index → (level, y, x, a); level layout is
@@ -446,6 +446,9 @@ class FasterRCNN(nn.Module):
             jax.vmap(candidates_one)(cls_flat, reg_flat, img_shape)
         )
         impl = cfg.rpn_nms_impl
+        assert impl in ("auto", "matrix", "pallas", "xla"), (
+            f"unknown rpn_nms_impl {impl!r}"
+        )
         if impl == "auto":
             impl = "matrix" if _use_pallas() else "xla"
         if impl == "matrix":

@@ -93,6 +93,7 @@ class CovConv(nn.Module):
         )
         dtype = self.dtype or x.dtype
         if self.s2d:
+            assert self.dilation == (1, 1), "s2d does not support dilation"
             y = _conv_s2d(
                 x.astype(dtype), kernel.astype(dtype),
                 self.kernel_size, self.strides, self.padding,
@@ -126,7 +127,9 @@ def _conv_s2d(x, kernel, kernel_size, strides, padding):
     kh, kw, cin, f = kernel.shape
     ph, pw = padding
     B, H, W, C = x.shape
-    assert strides == (2, 2) and H % 2 == 0 and W % 2 == 0
+    assert strides == (2, 2) and H % 2 == 0 and W % 2 == 0, (
+        "s2d conv requires stride (2,2) and even input sizes"
+    )
     x2 = x.reshape(B, H // 2, 2, W // 2, 2, C)
     x2 = x2.transpose(0, 1, 3, 2, 4, 5).reshape(B, H // 2, W // 2, 4 * C)
 

@@ -73,6 +73,33 @@ def test_prefetch_transfer_fn_applied_in_worker():
     assert all(t != main_thread for t in seen_threads)
 
 
+def test_prefetch_early_break_releases_worker():
+    """A consumer that stops early (max_batches caps, benchmark break)
+    must unblock the worker thread instead of pinning buffered batches
+    forever."""
+    import threading
+    import time
+
+    from nsgp_repre_tpu.datasets.prefetch import PrefetchLoader
+
+    class Slowless:
+        def __len__(self):
+            return 100
+        def __iter__(self):
+            for i in range(100):
+                yield (np.full((1,), i), [i])
+
+    before = threading.active_count()
+    pf = PrefetchLoader(Slowless(), buffer_size=2)
+    for j, (b, ids) in enumerate(pf):
+        if j == 3:
+            break
+    deadline = time.time() + 5.0
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before
+
+
 def test_prefetch_propagates_errors():
     from nsgp_repre_tpu.datasets.prefetch import PrefetchLoader
 

@@ -43,7 +43,10 @@ def main():
         from nsgp_repre_tpu.engine.runner import NullSpaceRunner
 
         runner = NullSpaceRunner(cfg)
-        print(json.dumps(DataLoaderBenchmark(runner.train_loader, args.max_iter).run()))
+        # measure the HOST pipeline: unwrap the runner's PrefetchLoader
+        # (whose transfer_fn uploads to the device) down to the DetLoader
+        loader = getattr(runner.train_loader, "loader", runner.train_loader)
+        print(json.dumps(DataLoaderBenchmark(loader, args.max_iter).run()))
         return
     if args.task == "dataset":
         from nsgp_repre_tpu.engine.runner import NullSpaceRunner

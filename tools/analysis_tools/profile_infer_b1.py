@@ -59,9 +59,9 @@ def main(batch_size=1):
     ms, feats = timeit(feat_fn, variables, imgs)
     print(f"backbone+FPN           : {ms:8.2f} ms")
 
-    rpn_fn = jax.jit(lambda v, f: model.apply(v, f, method=model.rpn_head_apply)
-                     if hasattr(model, "rpn_head_apply") else
-                     model.apply(v, f, method=lambda m, f: m.rpn_head(f)))
+    rpn_fn = jax.jit(
+        lambda v, f: model.apply(v, f, method=lambda m, ff: m.rpn_head(ff))
+    )
     ms, rpn_maps = timeit(rpn_fn, variables, feats)
     print(f"RPN conv heads         : {ms:8.2f} ms")
 
