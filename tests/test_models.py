@@ -171,8 +171,8 @@ class TestDetector:
         assert checked > 10  # rpn head + backbone + fpn all get gradient
 
     def test_matrix_rpn_nms_matches_default(self, model_and_vars):
-        """rpn_nms_impl='matrix' (the TPU default via 'auto') must
-        produce the same predictions as the sequential XLA path."""
+        """rpn_nms_impl='matrix' must produce the same predictions as
+        the sequential XLA path (the CPU default via 'auto')."""
         model, variables, batch = model_and_vars
         dets_ref = model.apply(variables, batch, method=model.predict)
         m2 = FasterRCNN(config=tiny_config(rpn_nms_impl="matrix"))

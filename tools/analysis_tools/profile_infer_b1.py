@@ -21,14 +21,22 @@ from nsgp_repre_tpu.engine.train import make_eval_step, normalize_images
 from nsgp_repre_tpu.models.detector import DetectorConfig, FasterRCNN
 
 
+def _sync(out):
+    """Force completion via a scalar data dependency — the axon relay's
+    block_until_ready returns before the device work is done (same
+    workaround as bench.py)."""
+    leaf = jax.tree.leaves(out)[0]
+    return float(jnp.sum(jnp.abs(leaf.astype(jnp.float32))))
+
+
 def timeit(fn, *args, n=30, warmup=2):
     for _ in range(warmup):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     t0 = time.perf_counter()
     for _ in range(n):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     return (time.perf_counter() - t0) / n * 1e3, out
 
 
