@@ -123,6 +123,11 @@ class DetectorConfig:
     # backpropagating the dense convs, at ~zero backward cost. Disable
     # for the all-dense reference-shaped graph.
     rpn_sparse_loss: bool = True
+    # fused Pallas RPN head (ops/rpn_head_pallas.py) on forward-only
+    # dense-head paths (predict; sparse-loss train). Kills the XLA
+    # layout-transpose fusions around the per-level head convs at
+    # batch 1 (~5.5 ms of a 17.5 ms predict on the P2 map alone).
+    rpn_fused_head: bool = True
     # teacher fast path: the frozen teacher's RoIAlign uses a 1x1 sample
     # grid per bin instead of 2x2 (4x less gather traffic — the gather is
     # HBM-bound and dominates teacher predict). The reference runs
@@ -186,12 +191,22 @@ class FasterRCNN(nn.Module):
     def _dtype(self):
         return jnp.bfloat16 if self.config.compute_dtype == "bfloat16" else jnp.float32
 
-    def extract_feat(self, images: jnp.ndarray) -> Tuple[jnp.ndarray, ...]:
+    def extract_feat(
+        self, images: jnp.ndarray, inference: bool = False
+    ) -> Tuple[jnp.ndarray, ...]:
         """images (B,H,W,3) → 5 FPN levels in compute dtype
         (two_stage.py:100). Heads cast their outputs to f32; keeping the
-        pyramid in bf16 halves RPN-conv FLOPs and RoIAlign gather bytes."""
+        pyramid in bf16 halves RPN-conv FLOPs and RoIAlign gather bytes.
+
+        ``inference=True`` (no-grad paths: predict, teacher,
+        get_bbox_stuff) lets the FPN output convs use the forward-only
+        fused Pallas conv — the dominant batch-1 layout-transpose fix.
+        """
         feats = self.backbone(images.astype(self._dtype))
-        return self.neck(feats)
+        fused = (
+            inference and self.config.rpn_fused_head and _use_pallas()
+        )
+        return self.neck(feats, fused=fused)
 
     def __call__(self, images: jnp.ndarray):
         """Init/entry convenience: full forward to RPN maps."""
@@ -258,7 +273,14 @@ class FasterRCNN(nn.Module):
         head_in = (
             tuple(jax.lax.stop_gradient(f) for f in feats) if sparse else feats
         )
-        cls_maps, reg_maps = self.rpn_head(head_in)
+        # the fused Pallas head is forward-only; use it exactly where the
+        # dense head runs under stop_gradient
+        fused = (
+            cfg.rpn_fused_head
+            and _use_pallas()
+            and (sparse or not with_loss)
+        )
+        cls_maps, reg_maps = self.rpn_head(head_in, fused=fused)
         anchors, sizes = self._anchors(feats)
         B = cls_maps[0].shape[0]
         A = cfg.num_base_priors
@@ -651,7 +673,7 @@ class FasterRCNN(nn.Module):
     # predict (faster_rcnn_roi_replay.py:239 + bbox_head.py:427)
     # ------------------------------------------------------------------
     def predict(self, batch: DetBatch, rescale: bool = True) -> InstanceArray:
-        feats = self.extract_feat(batch.images)
+        feats = self.extract_feat(batch.images, inference=True)
         _, proposals = self.rpn_loss_and_proposals(
             feats, batch.gt, batch.img_shape, jax.random.PRNGKey(0), with_loss=False
         )
@@ -737,7 +759,7 @@ class FasterRCNN(nn.Module):
         drop foreground if over.
         """
         cfg = self.config
-        feats = self.extract_feat(batch.images)
+        feats = self.extract_feat(batch.images, inference=True)
         k1, k2, k3 = jax.random.split(rng, 3)
         _, proposals = self.rpn_loss_and_proposals(
             feats, batch.gt, batch.img_shape, k1, with_loss=False

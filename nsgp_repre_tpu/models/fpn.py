@@ -41,7 +41,12 @@ class FPN(nn.Module):
     relu_before_extra_convs: bool = False
 
     @nn.compact
-    def __call__(self, inputs: Sequence[jnp.ndarray]) -> Tuple[jnp.ndarray, ...]:
+    def __call__(
+        self, inputs: Sequence[jnp.ndarray], fused: bool = False
+    ) -> Tuple[jnp.ndarray, ...]:
+        """``fused=True`` routes the stride-1 3x3 output convs through
+        the forward-only Pallas conv (CovConv fused path) — inference
+        paths only; laterals/extra convs keep the XLA path."""
         inputs = list(inputs[self.start_level:])
         num_ins = len(inputs)
         xavier = nn.initializers.xavier_uniform()
@@ -60,7 +65,7 @@ class FPN(nn.Module):
             CovConv(
                 self.out_channels, (3, 3), (1, 1), (1, 1),
                 kernel_init=xavier, name=f"fpn_conv{i}",
-            )(laterals[i])
+            )(laterals[i], fused=fused)
             for i in range(num_ins)
         ]
         if self.num_outs > num_ins:

@@ -78,7 +78,7 @@ class CovConv(nn.Module):
     s2d: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, fused: bool = False) -> jnp.ndarray:
         if self.is_mutable_collection("cov") and not self.is_initializing():
             xm = jnp.mean(x.astype(jnp.float32), axis=0, keepdims=True)
             p = conv_input_patches(xm, self.kernel_size, self.strides, self.padding)
@@ -92,6 +92,31 @@ class CovConv(nn.Module):
             jnp.float32,
         )
         dtype = self.dtype or x.dtype
+        if (
+            fused
+            and not self.is_initializing()
+            and self.kernel_size == (3, 3)
+            and self.strides == (1, 1)
+            and self.padding == (1, 1)
+            and self.dilation == (1, 1)
+            and not self.s2d
+        ):
+            # forward-only Pallas conv — callers request it only on
+            # no-grad (inference) paths; stop_gradient makes that a hard
+            # guarantee (the kernel has no VJP)
+            from ..ops.rpn_head_pallas import conv3x3_fused
+
+            if self.use_bias:
+                bias = self.param(
+                    "bias", self.bias_init, (self.features,), jnp.float32
+                )
+            else:
+                bias = jnp.zeros((self.features,), jnp.float32)
+            return conv3x3_fused(
+                *jax.lax.stop_gradient(
+                    (x.astype(dtype), kernel, bias)
+                )
+            )
         if self.s2d:
             assert self.dilation == (1, 1), "s2d does not support dilation"
             y = _conv_s2d(

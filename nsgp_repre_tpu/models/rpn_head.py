@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from typing import List, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -46,14 +47,54 @@ class RPNHead(nn.Module):
         )
 
     def __call__(
-        self, feats: Sequence[jnp.ndarray]
+        self, feats: Sequence[jnp.ndarray], fused: bool = False
     ) -> Tuple[List[jnp.ndarray], List[jnp.ndarray]]:
-        """Per-level (cls_logits (B,H,W,A), deltas (B,H,W,A*4))."""
+        """Per-level (cls_logits (B,H,W,A), deltas (B,H,W,A*4)).
+
+        ``fused=True`` routes through the forward-only Pallas kernel
+        (ops/rpn_head_pallas.py) — callers pass it only on paths where
+        the dense head runs under stop_gradient (predict; the
+        rpn_sparse_loss train path). The covariance pass keeps the
+        CovConv path so the 'cov' taps fire.
+        """
+        if (
+            fused
+            and not self.is_mutable_collection("cov")
+            and not self.is_initializing()
+        ):
+            return self._fused(feats)
         cls_out, reg_out = [], []
         for f in feats:
             y = nn.relu(self.conv(f))
             cls_out.append(self.cls_conv(y))
             reg_out.append(self.reg_conv(y))
+        return cls_out, reg_out
+
+    def _fused(
+        self, feats: Sequence[jnp.ndarray]
+    ) -> Tuple[List[jnp.ndarray], List[jnp.ndarray]]:
+        from ..ops.rpn_head_pallas import rpn_head_fused
+
+        A = self.num_base_priors
+        F = self.feat_channels
+        pv = self.conv.variables["params"]
+        cv = self.cls_conv.variables["params"]
+        rv = self.reg_conv.variables["params"]
+        wc = cv["kernel"].reshape(F, A)
+        wr = rv["kernel"].reshape(F, 4 * A)
+        P = 128
+        wcr = jnp.concatenate(
+            [wc, wr, jnp.zeros((F, P - 5 * A), wc.dtype)], axis=1
+        )
+        bcr = jnp.concatenate(
+            [cv["bias"], rv["bias"], jnp.zeros((P - 5 * A,), jnp.float32)]
+        )
+        args = jax.lax.stop_gradient((pv["kernel"], pv["bias"], wcr, bcr))
+        cls_out, reg_out = [], []
+        for f in feats:
+            out = rpn_head_fused(jax.lax.stop_gradient(f), *args)
+            cls_out.append(out[..., :A])
+            reg_out.append(out[..., A : 5 * A])
         return cls_out, reg_out
 
     def at_positions(
