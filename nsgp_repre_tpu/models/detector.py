@@ -202,10 +202,10 @@ class FasterRCNN(nn.Module):
         get_bbox_stuff) lets the FPN output convs use the forward-only
         fused Pallas conv — the dominant batch-1 layout-transpose fix.
         """
-        feats = self.backbone(images.astype(self._dtype))
         fused = (
             inference and self.config.rpn_fused_head and _use_pallas()
         )
+        feats = self.backbone(images.astype(self._dtype), inference=fused)
         return self.neck(feats, fused=fused)
 
     def __call__(self, images: jnp.ndarray):

@@ -78,7 +78,17 @@ class CovConv(nn.Module):
     s2d: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, fused: bool = False) -> jnp.ndarray:
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        fused: bool = False,
+        s2d: Optional[bool] = None,
+    ) -> jnp.ndarray:
+        """``s2d=None`` uses the module default; inference paths
+        override it per call (the s2d stem rewrite is exact, and at
+        batch 1 it is ~1 ms faster while costing ~1 img/s at batch-16
+        train, so the detector enables it for inference only)."""
+        use_s2d = self.s2d if s2d is None else s2d
         if self.is_mutable_collection("cov") and not self.is_initializing():
             xm = jnp.mean(x.astype(jnp.float32), axis=0, keepdims=True)
             p = conv_input_patches(xm, self.kernel_size, self.strides, self.padding)
@@ -99,7 +109,10 @@ class CovConv(nn.Module):
             and self.strides == (1, 1)
             and self.padding == (1, 1)
             and self.dilation == (1, 1)
-            and not self.s2d
+            and not use_s2d
+            # the kernel's windowed row DMA slices the source lane dim,
+            # which Mosaic requires 128-aligned (stage-1 64ch falls back)
+            and in_ch % 128 == 0
         ):
             # forward-only Pallas conv — callers request it only on
             # no-grad (inference) paths; stop_gradient makes that a hard
@@ -117,7 +130,7 @@ class CovConv(nn.Module):
                     (x.astype(dtype), kernel, bias)
                 )
             )
-        if self.s2d:
+        if use_s2d:
             assert self.dilation == (1, 1), "s2d does not support dilation"
             y = _conv_s2d(
                 x.astype(dtype), kernel.astype(dtype),
@@ -155,8 +168,13 @@ def _conv_s2d(x, kernel, kernel_size, strides, padding):
     assert strides == (2, 2) and H % 2 == 0 and W % 2 == 0, (
         "s2d conv requires stride (2,2) and even input sizes"
     )
-    x2 = x.reshape(B, H // 2, 2, W // 2, 2, C)
-    x2 = x2.transpose(0, 1, 3, 2, 4, 5).reshape(B, H // 2, W // 2, 4 * C)
+    # merge adjacent column pairs into lanes first (a free row-major
+    # reshape), then split row parity — same (a, b, c) channel order as
+    # reshape+transpose of (2, 2, C) blocks, but XLA lowers it without
+    # the minor-dim transpose copy that dominated the batch-1 stem
+    # (1.7 ms of reshape/copy on the 800x1344 canvas)
+    xw = x.reshape(B, H, W // 2, 2 * C)
+    x2 = jnp.concatenate([xw[:, 0::2], xw[:, 1::2]], axis=-1)
 
     # k2[p - p_lo, q - q_lo, (a, b, c), f] = kernel[2p + a + ph, 2q + b + pw]
     # taps: t = 2p + a - ph for output 2i → valid p range from t ∈ [0, kh)

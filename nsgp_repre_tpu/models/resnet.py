@@ -42,7 +42,7 @@ class Bottleneck(nn.Module):
     style: str = "pytorch"
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, fused: bool = False) -> jnp.ndarray:
         identity = x
         s1 = self.stride if self.style == "caffe" else 1
         s2 = 1 if self.style == "caffe" else self.stride
@@ -53,7 +53,7 @@ class Bottleneck(nn.Module):
         y = CovConv(
             self.mid_channels, (3, 3), (s2, s2), (d, d),
             dilation=(d, d), use_bias=False, name="conv2",
-        )(y)
+        )(y, fused=fused)
         y = FrozenBatchNorm(name="bn2")(y)
         y = nn.relu(y)
         y = CovConv(self.out_channels, (1, 1), (1, 1), (0, 0), use_bias=False, name="conv3")(y)
@@ -116,11 +116,22 @@ class ResNet50(nn.Module):
     # evaluate the 7x7/2 stem via space-to-depth (exact; MXU-friendly
     # contraction on 12 instead of 3 input channels) — layers._conv_s2d
     stem_s2d: bool = False
+    # route eligible bottleneck 3x3 convs through the fused Pallas conv
+    # on inference paths (measured slightly NEGATIVE at batch-1 800x1344
+    # — XLA's stage-2..4 convs are already decent and the custom-call
+    # boundaries around the 1x1 convs add relayouts — kept as a knob)
+    fused_blocks: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, ...]:
+    def __call__(
+        self, x: jnp.ndarray, inference: bool = False
+    ) -> Tuple[jnp.ndarray, ...]:
+        """``inference=True`` (no-grad paths) evaluates the stem via
+        the exact s2d rewrite and lets eligible 3x3 convs use the
+        forward-only fused Pallas conv (models/layers.py)."""
         y = CovConv(self.base_channels, (7, 7), (2, 2), (3, 3),
-                    use_bias=False, s2d=self.stem_s2d, name="conv1")(x)
+                    use_bias=False, s2d=self.stem_s2d, name="conv1")(
+                        x, s2d=self.stem_s2d or inference)
         y = FrozenBatchNorm(name="bn1")(y)
         y = nn.relu(y)
         # torch MaxPool2d(kernel=3, stride=2, padding=1)
@@ -144,7 +155,7 @@ class ResNet50(nn.Module):
                     dilation=dilations[stage],
                     style=self.style,
                     name=f"layer{stage + 1}_{block}",
-                )(y)
+                )(y, fused=inference and self.fused_blocks)
             if stage + 1 == self.frozen_stages:
                 y = jax.lax.stop_gradient(y)
             if stage in out_indices:

@@ -43,6 +43,7 @@ def main():
         rpn_max_per_img=1000,
         max_per_img=100,
         compute_dtype="bfloat16",
+        stem_s2d=True,
     )
     model = FasterRCNN(config=cfg)
     batch = _tiny_batch(a.batch, a.height, a.width, capacity=8)
