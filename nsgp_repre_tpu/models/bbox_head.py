@@ -82,9 +82,29 @@ class Shared2FCBBoxHeadTask(nn.Module):
         return x
 
     def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        """(R, ...) features → (cls_score (R, C+1), bbox_pred (R, 4C))."""
+        """(R, ...) features → (cls_score (R, C+1), bbox_pred (R, 4C)).
+
+        4-D NHWC inputs skip the torch-order activation transpose: the
+        flatten is the free ``reshape(R, -1)`` and FC1 evaluates with
+        row-permuted weights (CovDense ``row_chw``) — same math, ~400 MB
+        less transpose traffic per train step at R=8192. 2-D inputs
+        (stored RoI features, prototypes — torch flat order by the
+        rois_etc artifact protocol) and the covariance pass keep the
+        torch-order path.
+        """
+        if (
+            x.ndim == 4
+            and not self.is_mutable_collection("cov")
+            and not self.is_initializing()
+        ):
+            r, h, w, c = x.shape
+            x = nn.relu(self.shared_fc1(x.reshape(r, -1), row_chw=(c, h, w)))
+            return self._tail(x)
         x = self.mid_features(x)
         x = nn.relu(self.shared_fc1(x))
+        return self._tail(x)
+
+    def _tail(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
         x = nn.relu(self.shared_fc2(x))
 
         cls_parts = []

@@ -220,14 +220,37 @@ class CovDense(nn.Module):
     bias_init: nn.initializers.Initializer = nn.initializers.zeros_init()
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        row_chw: Optional[Tuple[int, int, int]] = None,
+    ) -> jnp.ndarray:
+        """``row_chw=(C, H, W)`` evaluates with the kernel's input rows
+        re-ordered from the stored torch (C, H, W) flat layout to an
+        NHWC (H, W, C) flat layout: the (rows, out) kernel is viewed as
+        (C, H, W, out) and transposed to (H, W, C, out). This lets hot
+        callers feed ``x.reshape(R, -1)`` of an NHWC feature directly —
+        permuting the 12.8 MB weight instead of transposing the ~400 MB
+        activation (and its gradient) every step — while checkpoints and
+        stored-feature artifacts keep the torch row order.
+        """
         if self.is_mutable_collection("cov") and not self.is_initializing():
+            assert row_chw is None, (
+                "covariance tap expects the torch-order input path"
+            )
             xm = jnp.mean(x.astype(jnp.float32), axis=0, keepdims=True)
             cov = xm.T @ xm
             self.sow("cov", "cov", cov, reduce_fn=_sum_reduce, init_fn=_zero_init)
         kernel = self.param(
             "kernel", self.kernel_init, (x.shape[-1], self.features), jnp.float32
         )
+        if row_chw is not None:
+            c, h, w = row_chw
+            kernel = (
+                kernel.reshape(c, h, w, self.features)
+                .transpose(1, 2, 0, 3)
+                .reshape(c * h * w, self.features)
+            )
         y = x @ kernel.astype(x.dtype)
         if self.use_bias:
             bias = self.param("bias", self.bias_init, (self.features,), jnp.float32)

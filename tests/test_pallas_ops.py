@@ -250,3 +250,32 @@ def test_visualizer_draws():
     # below-threshold boxes aren't drawn
     out2 = draw_detections(img, pred, score_thr=0.95)
     assert out2.sum() == 0
+
+
+def test_roi_align_small_window_classification():
+    """The (SWY, SWX) small-window fast path must trigger for naturally
+    routed rois and stay off for giants — and both paths must agree with
+    the XLA reference (covered above; here we pin the classifier)."""
+    import jax.numpy as jnp
+
+    from nsgp_repre_tpu.ops.roi_align_pallas import (
+        SWX, SWY, _route_and_weights,
+    )
+
+    # level maps larger than the big window, so origins don't clamp to 0
+    # (clamped tiny maps legitimately classify everything big)
+    feats, rois, bidx, strides = _roi_fixture(seed=7, canvas=(512, 768))
+    big = jnp.asarray([[0.0, 0.0, 500.0, 400.0]], jnp.float32)
+    rois = jnp.concatenate([rois[:15], big])
+    bidx = jnp.concatenate([bidx[:15], bidx[:1]])
+    level_hw = tuple((f.shape[1], f.shape[2]) for f in feats)
+    lvl, oy, ox, wy, wx, ey, ex = _route_and_weights(
+        rois, bidx, level_hw, strides, 7, 2, 56.0
+    )
+    small = (ey <= SWY) & (ex <= SWX)
+    assert bool(small[:15].any()), "no roi took the small-window path"
+    assert not bool(small[-1]), "a 500px roi classified small"
+    # extents never exceed the DMA'd window
+    import numpy as np
+
+    assert int(np.asarray(ey).max()) <= 48 and int(np.asarray(ex).max()) <= 48
