@@ -114,7 +114,9 @@ class FasterRCNNC4(FasterRCNN):
             scales=cfg.anchor_scales,
         )
 
-    def extract_feat(self, images: jnp.ndarray):
+    def extract_feat(self, images: jnp.ndarray, inference: bool = False):
+        # ``inference`` accepted for base-class predict-path parity; the
+        # C4 backbone has no fused inference rewrite.
         return self.backbone(images.astype(self._dtype))
 
     def __call__(self, images: jnp.ndarray):
@@ -172,7 +174,9 @@ class FasterRCNNDC5(FasterRCNN):
             scales=cfg.anchor_scales,
         )
 
-    def extract_feat(self, images: jnp.ndarray):
+    def extract_feat(self, images: jnp.ndarray, inference: bool = False):
+        # ``inference`` accepted for base-class predict-path parity; the
+        # C4 backbone has no fused inference rewrite.
         return self.backbone(images.astype(self._dtype))
 
     def __call__(self, images: jnp.ndarray):

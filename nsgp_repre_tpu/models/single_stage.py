@@ -166,7 +166,9 @@ class RetinaNet(nn.Module):
     def _dtype(self):
         return jnp.bfloat16 if self.config.compute_dtype == "bfloat16" else jnp.float32
 
-    def extract_feat(self, images: jnp.ndarray):
+    def extract_feat(self, images: jnp.ndarray, inference: bool = False):
+        # ``inference`` accepted for API parity with FasterRCNN; no
+        # fused inference rewrite on single-stage paths.
         return self.neck(self.backbone(images.astype(self._dtype)))
 
     def __call__(self, images: jnp.ndarray):

@@ -146,6 +146,7 @@ def multilevel_roi_align_auto(
         h_last, w_last = features[-1].shape[1:3]
         if h_last <= WIN and w_last <= WIN:
             return multilevel_roi_align_window(features, rois, batch_idx, **kw)
+    kw.pop("blocked_images", None)  # window-path-only hint
     return multilevel_roi_align(features, rois, batch_idx, **kw)
 
 

@@ -43,21 +43,115 @@ from jax.experimental.pallas import tpu as pltpu
 
 WIN = 48  # window side (multiple of 16 for bf16 sublane tiling)
 X_ALIGN = 8  # DMA x-origin alignment (HBM (8,128) tile, sublane dim = W)
-# small-window variant: mmdet routing keeps a roi's span on its level
-# under ~28 pixels (floor(log2(scale/56)) doubles at 112), typically
-# 13-18 for anchor-shaped boxes; with the bilinear +1, -1 origin margin
-# and the X_ALIGN x-slack that is ey<=24 / ex<=32 for the vast majority
-# of sampled rois. The (24, 32) window moves 3x fewer bytes per roi
-# than the (48, 48) worst case, which only border-clamped or
-# level-3-routed giants (and sub-WIN maps, whose origins pin to 0) need.
-SWY = 24
-SWX = 32
+# graduated window classes: mmdet routing keeps a roi's span on its
+# level under ~28 pixels (floor(log2(scale/56)) doubles at 112),
+# typically 13-18 for anchor-shaped boxes; with the bilinear +1, -1
+# origin margin and the X_ALIGN x-slack most sampled rois fit (24, 32)
+# and nearly all the rest (32, 40). Each roi is classified by its exact
+# sample extent and DMAs only its class's window — the (48, 48) worst
+# case (border-clamped rois, level-3 giants, sub-WIN maps whose origins
+# pin to 0) moves 6x the bytes of the smallest class. Both kernels are
+# window-DMA-bound, so bytes/roi ≈ time/roi.
+# NOTE: measured on v5e — THREE classes ((24,32),(32,40),(48,48)) made
+# the train step ~13% SLOWER than two: the per-roi (level x class)
+# @pl.when fan-out on the scalar core outweighs the DMA bytes saved by
+# the middle class. Keep two.
+WIN_CLASSES = ((24, 32), (WIN, WIN))
+SWY, SWX = WIN_CLASSES[0]  # kept for tests/docs
+
+
+def _window_class(ey, ex):
+    """Smallest WIN_CLASSES index whose window covers (ey, ex)."""
+    k = jnp.full(ey.shape, len(WIN_CLASSES) - 1, jnp.int32)
+    for i in range(len(WIN_CLASSES) - 2, -1, -1):
+        wy_n, wx_n = WIN_CLASSES[i]
+        k = jnp.where((ey <= wy_n) & (ex <= wx_n), i, k)
+    return k
+
+
+# Levels whose maps have at most this many positions are pooled with
+# dense batched matmuls over the WHOLE map instead of per-roi window
+# DMA when ``blocked_images=True``. The idea: coarse-level maps are
+# comparable to or smaller than the (48, 48) window, so per-roi window
+# DMA moves the whole map anyway; a full-map sandwich
+# (sum_y wy[by,y] * sum_x wx[bx,x] * F[y,x,c], batched over images) is
+# two MXU matmuls whose cost scales with map size, not roi count.
+# MEASURED NEGATIVE on v5e (kept default-OFF, see detector._roi_feats):
+# the y-contraction materializes a (B, G*out, W*C) f32/bf16 intermediate
+# — 1.9 GB at train shapes (B=16, G=512, level-2 (38,64)x256), 3.7 GB at
+# predict (G=1000) — whose HBM write+read dwarfs the DMA bytes saved:
+# task-1 train 117.3 -> 91.1 img/s, batch-16 predict 139 -> 102 img/s,
+# batch-1 predict 85.3 -> 78.7 fps. A VMEM-resident two-matmul kernel
+# (map block stays in VMEM, intermediate never leaves) would avoid the
+# round-trip; the windowed-DMA kernel is already within a few ms of
+# roofline at real roi counts, so the rewrite isn't worth the risk.
+# The path stays for its interpret-mode parity test (exact vs gather).
+DENSE_MAX_HW = 4400
+
+
+def _dense_weights(rois, lvl, l, hw, stride, out_size, ss, aligned):
+    """Full-map separable weights for level ``l``, zeroed for rois
+    routed elsewhere: (R, out, H), (R, out, W)."""
+    H, W = hw
+    offset = 0.5 if aligned else 0.0
+    x1 = rois[:, 0] / stride - offset
+    y1 = rois[:, 1] / stride - offset
+    span_x = (rois[:, 2] - rois[:, 0]) / stride
+    span_y = (rois[:, 3] - rois[:, 1]) / stride
+    zeros = jnp.zeros((rois.shape[0],), jnp.int32)
+    hl = jnp.full((rois.shape[0],), float(H))
+    wl = jnp.full((rois.shape[0],), float(W))
+    wy = _axis_weights(y1, span_y, zeros, out_size, ss, hl, width=H)
+    wx = _axis_weights(x1, span_x, zeros, out_size, ss, wl, width=W)
+    m = (lvl == l).astype(wy.dtype)[:, None, None]
+    return wy * m, wx * m
+
+
+def _dense_level_pool(f, wy, wx, G, out_size):
+    """out[b,g,by,bx,c] = sum_{y,x} wy[bg,by,y] wx[bg,bx,x] f[b,y,x,c]."""
+    B, H, W, C = f.shape
+    dt = f.dtype
+    t1 = jax.lax.dot_general(
+        wy.reshape(B, G * out_size, H).astype(dt),
+        f.reshape(B, H, W * C),
+        (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ).astype(dt)  # (B, G*out, W*C)
+    out = jnp.einsum(
+        "bgyxc,bgkx->bgykc",
+        t1.reshape(B, G, out_size, W, C),
+        wx.reshape(B, G, out_size, W).astype(dt),
+        preferred_element_type=jnp.float32,
+    )
+    return out.reshape(B * G, out_size, out_size, C)
+
+
+def _dense_level_pool_bwd(g, wy, wx, B, hw, out_size):
+    """Transpose of ``_dense_level_pool`` w.r.t. the feature map."""
+    H, W = hw
+    G = g.shape[0] // B
+    C = g.shape[-1]
+    dt = g.dtype
+    gm = g.reshape(B, G, out_size, out_size, C)
+    t = jnp.einsum(
+        "bgkx,bgykc->bgyxc",
+        wx.reshape(B, G, out_size, W).astype(dt),
+        gm,
+        preferred_element_type=jnp.float32,
+    ).astype(dt)  # (B, G, out, W, C)
+    df = jnp.einsum(
+        "bgyh,bgyxc->bhxc",
+        wy.reshape(B, G, out_size, H).astype(dt),
+        t,
+        preferred_element_type=jnp.float32,
+    )
+    return df  # (B, H, W, C) f32
 
 
 # ----------------------------------------------------------------------
 # host/XLA-side precompute
 # ----------------------------------------------------------------------
-def _axis_weights(lo, span, origin, out_size, ss, limit):
+def _axis_weights(lo, span, origin, out_size, ss, limit, width=None):
     """Per-axis separable weight matrix rows.
 
     Args:
@@ -66,10 +160,14 @@ def _axis_weights(lo, span, origin, out_size, ss, limit):
         origin: (R,) int window origin.
         out_size: bins per axis (7); ss: samples per bin per axis.
         limit: (R,) valid extent of the level map along this axis.
+        width: weight-matrix columns (default WIN; the dense full-map
+            path passes the map extent with origin 0).
 
     Returns:
-        (R, out_size, WIN) float32 — averaged bilinear weights.
+        (R, out_size, width) float32 — averaged bilinear weights.
     """
+    if width is None:
+        width = WIN
     R = lo.shape[0]
     n = out_size * ss
     # sample positions within the roi, in bin units (ops/roi_align.py)
@@ -88,12 +186,12 @@ def _axis_weights(lo, span, origin, out_size, ss, limit):
     i0 = p0.astype(jnp.int32) - origin[:, None]  # window-relative
     i1 = p1.astype(jnp.int32) - origin[:, None]
 
-    cols = jnp.arange(WIN, dtype=jnp.int32)
+    cols = jnp.arange(width, dtype=jnp.int32)
     m = (
         w0[..., None] * (i0[..., None] == cols)
         + w1[..., None] * (i1[..., None] == cols)
-    )  # (R, n, WIN)
-    return m.reshape(R, out_size, ss, WIN).sum(axis=2)
+    )  # (R, n, width)
+    return m.reshape(R, out_size, ss, width).sum(axis=2)
 
 
 def route_levels(
@@ -205,7 +303,7 @@ def _route_and_weights(
 # kernel
 # ----------------------------------------------------------------------
 def _roi_kernel(
-    lvl_ref, b_ref, oy_ref, ox_ref, small_ref,  # scalar prefetch (R,)
+    lvl_ref, b_ref, oy_ref, ox_ref, wcls_ref,  # scalar prefetch (R,)
     wy_ref, wx_ref, *rest, T: int, L: int, C: int, out_size: int
 ):
     level_refs = rest[:L]
@@ -214,8 +312,7 @@ def _roi_kernel(
     sems = rest[L + 2]
     prog = pl.program_id(0)
 
-    def window_copy(r, l, slot, small: bool):
-        wy_n, wx_n = (SWY, SWX) if small else (WIN, WIN)
+    def window_copy(r, l, slot, wy_n, wx_n):
         ox = pl.multiple_of(ox_ref[r], X_ALIGN)
         return pltpu.make_async_copy(
             level_refs[l].at[
@@ -228,13 +325,10 @@ def _roi_kernel(
     def dma_op(i, slot, op):
         r = prog * T + i
         for l in range(L):
-            @pl.when((lvl_ref[r] == l) & (small_ref[r] != 0))
-            def _():
-                getattr(window_copy(r, l, slot, True), op)()
-
-            @pl.when((lvl_ref[r] == l) & (small_ref[r] == 0))
-            def _():
-                getattr(window_copy(r, l, slot, False), op)()
+            for k, (wy_n, wx_n) in enumerate(WIN_CLASSES):
+                @pl.when((lvl_ref[r] == l) & (wcls_ref[r] == k))
+                def _(wy_n=wy_n, wx_n=wx_n):
+                    getattr(window_copy(r, l, slot, wy_n, wx_n), op)()
 
     dma_op(0, 0, "start")
     for i in range(T):
@@ -256,13 +350,16 @@ def _roi_kernel(
                     preferred_element_type=jnp.float32,
                 ).astype(out_ref.dtype)
 
-        @pl.when(small_ref[r] != 0)
-        def _():
-            pool(SWY, SWX)
+        for k, (wy_n, wx_n) in enumerate(WIN_CLASSES):
+            @pl.when(wcls_ref[r] == k)
+            def _(wy_n=wy_n, wx_n=wx_n):
+                pool(wy_n, wx_n)
 
-        @pl.when(small_ref[r] == 0)
+        # dense-level rois (wcls == -1) are pooled outside the kernel;
+        # zero their rows so the caller can add the dense contribution
+        @pl.when(wcls_ref[r] < 0)
         def _():
-            pool(WIN, WIN)
+            out_ref[i] = jnp.zeros_like(out_ref[i])
 
 
 def _pad_level(f: jnp.ndarray) -> jnp.ndarray:
@@ -278,10 +375,20 @@ def _pad_level(f: jnp.ndarray) -> jnp.ndarray:
     return f
 
 
+def _dense_levels(level_hw, batch_size, R, blocked_images):
+    """Static list of levels pooled densely (full-map matmuls)."""
+    if not blocked_images or batch_size < 1 or R % batch_size != 0:
+        return []
+    return [
+        l for l, (h, w) in enumerate(level_hw) if h * w <= DENSE_MAX_HW
+    ]
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("strides", "output_size", "sampling_ratio",
-                     "finest_scale", "aligned", "interpret"),
+                     "finest_scale", "aligned", "blocked_images",
+                     "interpret"),
 )
 def multilevel_roi_align_pallas(
     features: Sequence[jnp.ndarray],
@@ -292,6 +399,7 @@ def multilevel_roi_align_pallas(
     sampling_ratio: int = 2,
     finest_scale: float = 56.0,
     aligned: bool = True,
+    blocked_images: bool = False,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """FPN RoIAlign, Pallas fast path (forward).
@@ -299,6 +407,10 @@ def multilevel_roi_align_pallas(
     Same contract as ops.roi_align.multilevel_roi_align. Numerics match
     except extreme-aspect RoIs whose sample span exceeds the window — they
     are routed one level coarser (see module docstring).
+
+    ``blocked_images=True`` asserts rois are image-major blocked
+    (batch_idx = repeat(arange(B), R/B) — all detector paths) and
+    enables the dense full-map pooling for sub-DENSE_MAX_HW levels.
     """
     L = len(features)
     B, _, _, C = features[0].shape
@@ -312,7 +424,10 @@ def multilevel_roi_align_pallas(
         rois, batch_idx, level_hw, strides, output_size, sampling_ratio,
         finest_scale, aligned,
     )
-    small = ((ey <= SWY) & (ex <= SWX)).astype(jnp.int32)
+    wcls = _window_class(ey, ex)
+    dense = _dense_levels(level_hw, B, R, blocked_images)
+    for l in dense:
+        wcls = jnp.where(lvl == l, -1, wcls)
     padded = [_pad_level(f) for f in features[:L]]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -348,9 +463,18 @@ def multilevel_roi_align_pallas(
         out_shape=jax.ShapeDtypeStruct((R, output_size, output_size, C), dtype),
         interpret=interpret,
     )(
-        lvl, batch_idx.astype(jnp.int32), oy, ox, small,
+        lvl, batch_idx.astype(jnp.int32), oy, ox, wcls,
         wy.astype(dtype), wx.astype(dtype), *padded,
     )
+    G = R // B if B else 0
+    for l in dense:
+        dwy, dwx = _dense_weights(
+            rois, lvl, l, level_hw[l], float(strides[l]), output_size,
+            sampling_ratio, aligned,
+        )
+        out = out + _dense_level_pool(
+            features[l], dwy, dwx, G, output_size
+        ).astype(dtype)
     return out
 
 
@@ -363,6 +487,7 @@ def multilevel_roi_align_window(
     sampling_ratio: int = 2,
     finest_scale: float = 56.0,
     aligned: bool = True,
+    blocked_images: bool = False,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Differentiable FPN RoIAlign via the windowed-DMA Pallas kernel.
@@ -385,36 +510,44 @@ def multilevel_roi_align_window(
         batch_idx = jnp.concatenate(
             [batch_idx, jnp.zeros((pad,), batch_idx.dtype)]
         )
+        blocked_images = False  # padding breaks the image-major blocks
     shapes = tuple((tuple(f.shape), str(f.dtype)) for f in features)
     out = _window_op(
         list(features), rois, batch_idx, strides, output_size,
-        sampling_ratio, finest_scale, aligned, interpret, shapes,
+        sampling_ratio, finest_scale, aligned, blocked_images,
+        interpret, shapes,
     )
     return out[:R] if pad else out
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9))
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9, 10)
+)
 def _window_op(features, rois, batch_idx, strides, output_size,
-               sampling_ratio, finest_scale, aligned, interpret, shapes):
+               sampling_ratio, finest_scale, aligned, blocked_images,
+               interpret, shapes):
     return multilevel_roi_align_pallas(
         features, rois, batch_idx,
         strides=strides, output_size=output_size,
         sampling_ratio=sampling_ratio, finest_scale=finest_scale,
-        aligned=aligned, interpret=interpret,
+        aligned=aligned, blocked_images=blocked_images,
+        interpret=interpret,
     )
 
 
 def _window_fwd(features, rois, batch_idx, strides, output_size,
-                sampling_ratio, finest_scale, aligned, interpret, shapes):
+                sampling_ratio, finest_scale, aligned, blocked_images,
+                interpret, shapes):
     out = _window_op(
         features, rois, batch_idx, strides, output_size,
-        sampling_ratio, finest_scale, aligned, interpret, shapes,
+        sampling_ratio, finest_scale, aligned, blocked_images,
+        interpret, shapes,
     )
     return out, (rois, batch_idx)
 
 
 def _window_bwd(strides, output_size, sampling_ratio, finest_scale,
-                aligned, interpret, shapes, res, g):
+                aligned, blocked_images, interpret, shapes, res, g):
     from .roi_align import multilevel_roi_align
 
     rois, batch_idx = res
@@ -426,7 +559,7 @@ def _window_bwd(strides, output_size, sampling_ratio, finest_scale,
             g, rois, batch_idx, level_hw, shapes[0][0][0],
             strides=strides, output_size=output_size,
             sampling_ratio=sampling_ratio, finest_scale=finest_scale,
-            aligned=aligned,
+            aligned=aligned, blocked_images=blocked_images,
         )
         d_feats = [df.astype(d) for df, (_, d) in zip(d_feats, shapes)]
         return (
@@ -465,7 +598,7 @@ _window_op.defvjp(_window_fwd, _window_bwd)
 # Pallas backward: windowed read-modify-write accumulation
 # ----------------------------------------------------------------------
 def _roi_bwd_kernel(
-    lvl_ref, b_ref, oy_ref, ox_ref, safe_ref, small_ref,  # scalar (R,)
+    lvl_ref, b_ref, oy_ref, ox_ref, safe_ref, wcls_ref,  # scalar (R,)
     wy_ref, wx_ref, g_ref, *rest, T: int, L: int, C: int, out_size: int
 ):
     """Per-roi: window dF += Wy^T @ g @ Wx, via HBM read-modify-write.
@@ -488,8 +621,7 @@ def _roi_bwd_kernel(
     sems = rest[2 * L + 1]
     prog = pl.program_id(0)
 
-    def window_copy(r, l, slot, direction, small: bool):
-        wy_n, wx_n = (SWY, SWX) if small else (WIN, WIN)
+    def window_copy(r, l, slot, direction, wy_n, wx_n):
         ox = pl.multiple_of(ox_ref[r], X_ALIGN)
         hbm = grad_refs[l].at[
             b_ref[r], pl.ds(oy_ref[r], wy_n), pl.ds(ox, wx_n), :
@@ -501,13 +633,12 @@ def _roi_bwd_kernel(
 
     def dma_each(r, slot, direction, op):
         for l in range(L):
-            @pl.when((lvl_ref[r] == l) & (small_ref[r] != 0))
-            def _():
-                getattr(window_copy(r, l, slot, direction, True), op)()
-
-            @pl.when((lvl_ref[r] == l) & (small_ref[r] == 0))
-            def _():
-                getattr(window_copy(r, l, slot, direction, False), op)()
+            for k, (wy_n, wx_n) in enumerate(WIN_CLASSES):
+                @pl.when((lvl_ref[r] == l) & (wcls_ref[r] == k))
+                def _(wy_n=wy_n, wx_n=wx_n):
+                    getattr(
+                        window_copy(r, l, slot, direction, wy_n, wx_n), op
+                    )()
 
     def start_in(r, slot):
         dma_each(r, slot, "in", "start")
@@ -539,13 +670,10 @@ def _roi_bwd_kernel(
 
         dma_each(r, s, "in", "wait")
 
-        @pl.when(small_ref[r] != 0)
-        def _():
-            accumulate(i, s, SWY, SWX)
-
-        @pl.when(small_ref[r] == 0)
-        def _():
-            accumulate(i, s, WIN, WIN)
+        for k, (wy_n, wx_n) in enumerate(WIN_CLASSES):
+            @pl.when(wcls_ref[r] == k)
+            def _(wy_n=wy_n, wx_n=wx_n):
+                accumulate(i, s, wy_n, wx_n)
 
         if i > 0:
             # out(r-1) is still in flight iff roi r's read was a safe
@@ -568,7 +696,8 @@ def _roi_bwd_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("level_hw", "batch_size", "strides", "output_size",
+    static_argnames=("level_hw", "batch_size", "blocked_images",
+                     "strides", "output_size",
                      "sampling_ratio", "finest_scale", "aligned", "interpret"),
 )
 def multilevel_roi_align_bwd_pallas(
@@ -582,6 +711,7 @@ def multilevel_roi_align_bwd_pallas(
     sampling_ratio: int = 2,
     finest_scale: float = 56.0,
     aligned: bool = True,
+    blocked_images: bool = False,
     interpret: bool = False,
 ):
     """Gradient w.r.t. the feature pyramid for the window forward.
@@ -600,12 +730,15 @@ def multilevel_roi_align_bwd_pallas(
     # too). Callers cast the result back to the feature dtype.
     dtype = jnp.float32
     g = g.astype(jnp.float32)
+    rois_orig, g_orig = rois, g
 
     lvl, oy, ox, wy, wx, ey, ex = _route_and_weights(
         rois, batch_idx, level_hw, strides, output_size, sampling_ratio,
         finest_scale, aligned,
     )
     bidx32 = batch_idx.astype(jnp.int32)
+    dense = _dense_levels(level_hw, batch_size, R, blocked_images)
+    lvl_orig = lvl
 
     # interleave rois across batch images (static permutation): callers
     # pass image-blocked rois, so consecutive rois share an image and
@@ -626,11 +759,15 @@ def multilevel_roi_align_bwd_pallas(
 
     # prefetch-safety flags: roi r's window read may overlap roi r-1's
     # in-flight window write only on the same level map of the same
-    # image with intersecting (extent) rectangles. The DMA'd window is
-    # (SWY, SWX) or (WIN, WIN) by the small flag — use that extent.
-    small = ((ey <= SWY) & (ex <= SWX)).astype(jnp.int32)
-    wy_n = jnp.where(small != 0, SWY, WIN)
-    wx_n = jnp.where(small != 0, SWX, WIN)
+    # image with intersecting window rectangles (per-roi class sizes).
+    wcls = _window_class(ey, ex)
+    for l in dense:
+        wcls = jnp.where(lvl == l, -1, wcls)  # handled by dense matmuls
+    cls_y = jnp.asarray([a for a, _ in WIN_CLASSES], jnp.int32)
+    cls_x = jnp.asarray([b for _, b in WIN_CLASSES], jnp.int32)
+    skip = wcls < 0
+    wy_n = jnp.where(skip, 0, cls_y[jnp.clip(wcls, 0)])
+    wx_n = jnp.where(skip, 0, cls_x[jnp.clip(wcls, 0)])
     inter_y = (oy[1:] < oy[:-1] + wy_n[:-1]) & (oy[:-1] < oy[1:] + wy_n[1:])
     inter_x = (ox[1:] < ox[:-1] + wx_n[:-1]) & (ox[:-1] < ox[1:] + wx_n[1:])
     overlap = (
@@ -692,9 +829,16 @@ def multilevel_roi_align_bwd_pallas(
         input_output_aliases=aliases,
         interpret=interpret,
     )(
-        lvl, bidx32, oy, ox, safe, small,
+        lvl, bidx32, oy, ox, safe, wcls,
         wy.astype(dtype), wx.astype(dtype), g, *zeros,
     )
-    return [
-        o[:, : hw[0], : hw[1], :] for o, hw in zip(out, level_hw)
-    ]
+    out = [o[:, : hw[0], : hw[1], :] for o, hw in zip(out, level_hw)]
+    for l in dense:
+        dwy, dwx = _dense_weights(
+            rois_orig, lvl_orig, l, level_hw[l], float(strides[l]),
+            output_size, sampling_ratio, aligned,
+        )
+        out[l] = out[l] + _dense_level_pool_bwd(
+            g_orig, dwy, dwx, batch_size, level_hw[l], output_size
+        )
+    return out

@@ -279,3 +279,71 @@ def test_roi_align_small_window_classification():
     import numpy as np
 
     assert int(np.asarray(ey).max()) <= 48 and int(np.asarray(ex).max()) <= 48
+
+
+def test_roi_align_dense_levels_parity():
+    """blocked_images=True pools coarse (sub-DENSE_MAX_HW) levels with
+    full-map matmuls; results and gradients must match the XLA gather
+    reference exactly (same routing, no window bumps at these sizes)."""
+    import jax
+    import jax.numpy as jnp
+
+    from nsgp_repre_tpu.ops.roi_align import multilevel_roi_align
+    from nsgp_repre_tpu.ops.roi_align_pallas import (
+        _dense_levels,
+        multilevel_roi_align_bwd_pallas,
+        multilevel_roi_align_window,
+        route_levels,
+    )
+
+    rng = np.random.RandomState(11)
+    B, C = 2, 32
+    strides = (4, 8, 16, 32)
+    H, W = 256, 384
+    feats = [
+        jnp.asarray(rng.randn(B, H // s, W // s, C).astype(np.float32))
+        for s in strides
+    ]
+    level_hw = tuple((f.shape[1], f.shape[2]) for f in feats)
+    # image-major blocked rois, 8 per image, spanning all levels
+    G = 8
+    rois_np = []
+    for b in range(B):
+        x1 = rng.uniform(0, W - 200, G)
+        y1 = rng.uniform(0, H - 200, G)
+        sw = rng.uniform(20, 190, G)
+        sh = rng.uniform(20, 190, G)
+        rois_np.append(np.stack([x1, y1, x1 + sw, y1 + sh], -1))
+    rois = jnp.asarray(np.concatenate(rois_np).astype(np.float32))
+    bidx = jnp.asarray(np.repeat(np.arange(B), G).astype(np.int32))
+    assert _dense_levels(level_hw, B, B * G, True), "no dense level hit"
+
+    out_d = multilevel_roi_align_window(
+        feats, rois, bidx, strides=strides, blocked_images=True,
+        interpret=True,
+    )
+    lvl = route_levels(rois, level_hw, strides, 7, 2, 56.0)
+    out_ref = multilevel_roi_align(
+        feats, rois, bidx, strides=strides, lvl_override=lvl
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_d), np.asarray(out_ref), rtol=1e-4, atol=1e-4
+    )
+
+    g = jnp.asarray(rng.randn(B * G, 7, 7, C).astype(np.float32))
+
+    def ref(fs):
+        return multilevel_roi_align(
+            fs, rois, bidx, strides=strides, lvl_override=lvl
+        )
+
+    _, vjp = jax.vjp(ref, feats)
+    g_ref = vjp(g)[0]
+    g_d = multilevel_roi_align_bwd_pallas(
+        g, rois, bidx, level_hw, B, strides=strides,
+        blocked_images=True, interpret=True,
+    )
+    for a, b in zip(g_d, g_ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4
+        )
