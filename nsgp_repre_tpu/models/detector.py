@@ -128,6 +128,14 @@ class DetectorConfig:
     # layout-transpose fusions around the per-level head convs at
     # batch 1 (~5.5 ms of a 17.5 ms predict on the P2 map alone).
     rpn_fused_head: bool = True
+    # the batch-1-oriented inference rewrites (fused FPN output convs,
+    # s2d stem, fused RPN head on predict) apply only when the predict
+    # batch is at most this size: measured at batch 16 they COST
+    # ~15 ms/batch (133 vs 152 img/s serving) — the layout transposes
+    # they remove amortize across the batch while the fused kernels'
+    # fixed overheads don't (tools/analysis_tools/profile_b16_fused.py).
+    # The train-path fused RPN head (sparse loss) is not affected.
+    infer_fused_max_batch: int = 1
     # teacher fast path: the frozen teacher's RoIAlign uses a 1x1 sample
     # grid per bin instead of 2x2 (4x less gather traffic — the gather is
     # HBM-bound and dominates teacher predict). The reference runs
@@ -203,7 +211,10 @@ class FasterRCNN(nn.Module):
         fused Pallas conv — the dominant batch-1 layout-transpose fix.
         """
         fused = (
-            inference and self.config.rpn_fused_head and _use_pallas()
+            inference
+            and self.config.rpn_fused_head
+            and _use_pallas()
+            and images.shape[0] <= self.config.infer_fused_max_batch
         )
         feats = self.backbone(images.astype(self._dtype), inference=fused)
         return self.neck(feats, fused=fused)
@@ -278,7 +289,13 @@ class FasterRCNN(nn.Module):
         fused = (
             cfg.rpn_fused_head
             and _use_pallas()
-            and (sparse or not with_loss)
+            and (
+                sparse
+                or (
+                    not with_loss
+                    and feats[0].shape[0] <= cfg.infer_fused_max_batch
+                )
+            )
         )
         cls_maps, reg_maps = self.rpn_head(head_in, fused=fused)
         anchors, sizes = self._anchors(feats)
