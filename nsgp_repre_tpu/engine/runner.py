@@ -441,6 +441,18 @@ class NullSpaceRunner:
             make_teacher_step(self.teacher_model) if self.use_teacher else None
         )
         self._pseudo_cache: Dict[tuple, tuple] = {}
+        # entries hold only the valid detection rows (+ their original
+        # row positions, so reconstruction is bit-exact) — ~26 bytes per
+        # detection instead of ~2.5 KB per fixed (max_per_img,) row set.
+        # The budget caps host RAM on large datasets (COCO train2017 at
+        # a typical ~30 valid teacher dets/image ≈ 180 MB for both flip
+        # variants); past it, new entries are recomputed per step instead
+        # of cached (the _cached_pseudo fallback) and a warning is logged.
+        self._pseudo_cache_bytes = 0
+        self._pseudo_cache_budget = int(
+            cfg.get("teacher_cache_budget_mb", 512)
+        ) * (1 << 20)
+        self._pseudo_cache_full = False
         self.eval_step = make_eval_step(self.model)
         self.cov_step = make_cov_step(self.model)
         self.roi_step = make_roi_extract_step(self.model)
@@ -598,9 +610,29 @@ class NullSpaceRunner:
         labels = self._fetch(dets.labels)
         valid = self._fetch(dets.valid)
         for i, key in enumerate(keys):
-            self._pseudo_cache[key] = (
-                boxes[i], scores[i], labels[i], valid[i]
+            if key in self._pseudo_cache:
+                continue
+            idx = np.where(valid[i])[0].astype(np.int32)
+            entry = (
+                np.ascontiguousarray(boxes[i][idx]),
+                np.ascontiguousarray(scores[i][idx]),
+                np.ascontiguousarray(labels[i][idx]),
+                idx,
             )
+            nbytes = sum(a.nbytes for a in entry)
+            if self._pseudo_cache_bytes + nbytes > self._pseudo_cache_budget:
+                if not self._pseudo_cache_full:
+                    self._pseudo_cache_full = True
+                    logger.warning(
+                        "teacher pseudo-label cache budget reached "
+                        f"({self._pseudo_cache_budget >> 20} MB at "
+                        f"{len(self._pseudo_cache)} entries); further "
+                        "images fall back to per-step teacher recompute "
+                        "(raise teacher_cache_budget_mb to cache more)"
+                    )
+                continue
+            self._pseudo_cache_bytes += nbytes
+            self._pseudo_cache[key] = entry
         return dets
 
     def _cached_pseudo(self, batch: DetBatch, meta):
@@ -620,7 +652,11 @@ class NullSpaceRunner:
         labels = np.full((B, P), -1, np.int32)
         valid = np.zeros((B, P), bool)
         for i, k in enumerate(local[:B]):
-            boxes[i], scores[i], labels[i], valid[i] = self._pseudo_cache[k]
+            b, s, l, idx = self._pseudo_cache[k]
+            boxes[i][idx] = b
+            scores[i][idx] = s
+            labels[i][idx] = l
+            valid[i][idx] = True
         return self._device_batch(InstanceArray(
             boxes=boxes, labels=labels, valid=valid, scores=scores,
         ))

@@ -121,6 +121,104 @@ def test_cached_dets_roundtrip_through_host(setup):
         assert float(m_a[k]) == float(m_b[k]), k
 
 
+class _StubDets:
+    """Teacher-detection pytree stand-in with .boxes/.scores/etc."""
+
+    def __init__(self, B, P, rng):
+        self.boxes = rng.rand(B, P, 4).astype(np.float32)
+        self.scores = rng.rand(B, P).astype(np.float32)
+        self.labels = rng.randint(0, 8, (B, P)).astype(np.int32)
+        self.valid = rng.rand(B, P) < 0.4
+
+
+def _stub_runner(budget_mb, B=2, P=8, seed=0):
+    """Minimal object exposing exactly what the cache methods touch,
+    with the REAL NullSpaceRunner methods bound onto it."""
+    from types import SimpleNamespace
+
+    from nsgp_repre_tpu.engine.runner import NullSpaceRunner
+
+    rng = np.random.RandomState(seed)
+    stub = SimpleNamespace()
+    stub._pseudo_cache = {}
+    stub._pseudo_cache_bytes = 0
+    stub._pseudo_cache_budget = budget_mb * (1 << 20)
+    stub._pseudo_cache_full = False
+    stub.det_cfg = SimpleNamespace(max_per_img=P)
+    stub.train_loader = SimpleNamespace(
+        loader=SimpleNamespace(local_batch=B, shard_id=0)
+    )
+    stub.teacher_step = lambda vars_, batch: _StubDets(B, P, rng)
+    stub._teacher_vars = lambda: None
+    stub._fetch = np.asarray
+    stub._device_batch = lambda x: x
+    stub._fill_pseudo_cache = NullSpaceRunner._fill_pseudo_cache.__get__(stub)
+    stub._cached_pseudo = NullSpaceRunner._cached_pseudo.__get__(stub)
+    stub._global_keys = NullSpaceRunner._global_keys
+    return stub, B, P
+
+
+class _Meta(list):
+    def __init__(self, ids, flips):
+        super().__init__(ids)
+        self.flips = flips
+
+
+def test_pseudo_cache_compaction_is_bit_exact():
+    """Entries store only valid rows + positions; reassembly must
+    reproduce the padded arrays exactly on the valid rows and report
+    valid=False (zeros/-1) elsewhere — the shape the train step expects."""
+    stub, B, P = _stub_runner(budget_mb=64)
+    meta = _Meta(["a", "b"], [False, False])
+    live = stub._fill_pseudo_cache(None, stub._global_keys(meta))
+    assert len(stub._pseudo_cache) == 2
+    out = stub._cached_pseudo(None, meta)
+    np.testing.assert_array_equal(out.valid, live.valid)
+    for i in range(B):
+        v = live.valid[i]
+        np.testing.assert_array_equal(out.boxes[i][v], live.boxes[i][v])
+        np.testing.assert_array_equal(out.scores[i][v], live.scores[i][v])
+        np.testing.assert_array_equal(out.labels[i][v], live.labels[i][v])
+        assert not out.valid[i][~v].any()
+        assert (out.labels[i][~v] == -1).all()
+
+
+def test_pseudo_cache_budget_falls_back_to_live(caplog):
+    """Past the byte budget new entries are NOT cached; batches touching
+    them permanently route through the live teacher (no KeyError, no
+    unbounded growth), and a warning is logged once."""
+    import logging
+
+    stub, B, P = _stub_runner(budget_mb=0)  # budget 0 → nothing fits
+    meta = _Meta(["a", "b"], [False, False])
+    with caplog.at_level(logging.WARNING):
+        out1 = stub._cached_pseudo(None, meta)
+        out2 = stub._cached_pseudo(None, meta)
+    assert stub._pseudo_cache == {} and stub._pseudo_cache_bytes == 0
+    assert stub._pseudo_cache_full
+    assert isinstance(out1, _StubDets) and isinstance(out2, _StubDets)
+    assert sum("budget reached" in r.message for r in caplog.records) == 1
+
+
+def test_pseudo_cache_budget_partial_fill():
+    """A budget that fits some-but-not-all entries caches greedily and
+    the accounting matches what is stored."""
+    stub, B, P = _stub_runner(budget_mb=64)
+    # shrink the budget to just over one entry's size
+    meta = _Meta(["a", "b"], [False, False])
+    stub._fill_pseudo_cache(None, stub._global_keys(meta))
+    one_entry = sum(a.nbytes for a in next(iter(stub._pseudo_cache.values())))
+    stub2, _, _ = _stub_runner(budget_mb=64)
+    stub2._pseudo_cache_budget = one_entry + 8
+    stub2._fill_pseudo_cache(None, stub2._global_keys(meta))
+    assert len(stub2._pseudo_cache) >= 1
+    assert stub2._pseudo_cache_bytes <= stub2._pseudo_cache_budget
+    got = sum(
+        sum(a.nbytes for a in e) for e in stub2._pseudo_cache.values()
+    )
+    assert got == stub2._pseudo_cache_bytes
+
+
 class TestForceFlipLoader:
     def _dataset(self, voc_root):
         from nsgp_repre_tpu.datasets.voc import VOCTaskDataset
