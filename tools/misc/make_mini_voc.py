@@ -125,27 +125,37 @@ def shape_mask(shape: str, s: int) -> np.ndarray:
 
 
 class ClassLibrary:
-    """Deterministic visual identity per VOC class."""
+    """Deterministic visual identity per class (generic over class count
+    so mini-COCO can reuse the same compositor with 80 classes)."""
 
-    def __init__(self, rng: np.random.RandomState):
+    def __init__(self, rng: np.random.RandomState, n_classes: int = 20,
+                 person_idx: int = PERSON_IDX):
+        self.n_classes = n_classes
+        self.person_idx = person_idx
         tex_paths = _find_textures()
         order = rng.permutation(len(tex_paths))
         self.textures = [
-            cv2.imread(tex_paths[order[i % len(tex_paths)]]) for i in range(20)
+            cv2.imread(tex_paths[order[i % len(tex_paths)]])
+            for i in range(n_classes)
         ]
         self.hopper = cv2.imread(_find_hopper())
         assert self.hopper is not None
         self.identity = {}
-        for i in range(20):
+        for i in range(n_classes):
             self.identity[i] = dict(
                 shape=SHAPES[i % len(SHAPES)],
                 hue=int((i * 37) % 180),
                 tex=i,
+                # classes ≥20 that share (shape, tex-cycle) get distinct
+                # saturation bands so 80-class identities stay separable;
+                # i<20 keeps the original constant so mini-VOC output is
+                # byte-identical to the round-3 regression dataset
+                sat=60 if i < 20 else 60 - 45 * ((i // len(SHAPES)) % 3),
             )
 
     def render(self, cls_idx: int, size: int, rng: np.random.RandomState):
         """→ (patch bgr uint8, mask float [0,1]) both (size, size)."""
-        if cls_idx == PERSON_IDX:
+        if cls_idx == self.person_idx:
             # random upper-body crop of the real portrait
             h, w = self.hopper.shape[:2]
             cw = rng.randint(int(0.6 * w), w)
@@ -165,7 +175,7 @@ class ClassLibrary:
             patch = cv2.resize(patch, (size, size))
         hsv = cv2.cvtColor(patch, cv2.COLOR_BGR2HSV)
         hsv[..., 0] = (hsv[..., 0].astype(np.int32) + ident["hue"]) % 180
-        hsv[..., 1] = np.clip(hsv[..., 1].astype(np.int32) + 60, 0, 255)
+        hsv[..., 1] = np.clip(hsv[..., 1].astype(np.int32) + ident["sat"], 0, 255)
         patch = cv2.cvtColor(hsv.astype(np.uint8), cv2.COLOR_HSV2BGR)
         mask = shape_mask(ident["shape"], size)
         return patch, mask
@@ -191,7 +201,7 @@ def compose_scene(lib: ClassLibrary, cls_pool, rng: np.random.RandomState):
         if rng.rand() < 0.08:
             size = int(rng.uniform(14, 22))
         patch, mask = lib.render(cls_idx, size, rng)
-        ang = rng.uniform(-20, 20) if cls_idx != PERSON_IDX else 0.0
+        ang = rng.uniform(-20, 20) if cls_idx != lib.person_idx else 0.0
         if ang:
             M = cv2.getRotationMatrix2D((size / 2, size / 2), ang, 0.9)
             patch = cv2.warpAffine(patch, M, (size, size))
