@@ -83,16 +83,21 @@ def make_lr_schedule(
 
 
 def trainable_mask(params, config: DetectorConfig):
-    """1.0/0.0 pytree: frozen stem+stage1 (frozen_stages=1, resnet
-    config) and frozen future-task cls/reg heads
+    """1.0/0.0 pytree: frozen backbone stages per ``config.frozen_stages``
+    (mmdet resnet.py semantics: -1 = nothing frozen, 0 = stem only,
+    k>=1 = stem + layers 1..k) and frozen future-task cls/reg heads
     (convfc_bbox_head_task.py:129-144)."""
+    fs = config.frozen_stages
 
     def fn(path, leaf):
         name = path_to_name(path)
-        if name.startswith("backbone/conv1") or name.startswith("backbone/bn1"):
+        if fs >= 0 and (
+            name.startswith("backbone/conv1") or name.startswith("backbone/bn1")
+        ):
             return jnp.zeros((), leaf.dtype)
-        if name.startswith("backbone/layer1_"):
-            return jnp.zeros((), leaf.dtype)
+        for s in range(1, fs + 1):
+            if name.startswith(f"backbone/layer{s}_"):
+                return jnp.zeros((), leaf.dtype)
         for i in range(len(config.task_split) - 1):
             if i + 1 > config.task_id:
                 if f"fc_cls{i}/" in name or name.endswith(f"fc_cls{i}"):

@@ -69,6 +69,59 @@ class TestSGDNSCL:
         np.testing.assert_allclose(u["b"], 0.0)
 
 
+class TestTrainableMask:
+    """trainable_mask must follow mmdet frozen_stages semantics
+    (resnet.py _freeze_stages: -1 none, 0 stem only, k>=1 stem+1..k) —
+    the from-scratch mini configs set frozen_stages=-1 and train ALL
+    backbone params."""
+
+    def _mask(self, frozen_stages):
+        from nsgp_repre_tpu.engine.train import trainable_mask
+        from nsgp_repre_tpu.models.detector import DetectorConfig
+
+        cfg = DetectorConfig(
+            num_classes=4, task_split=(0, 2, 4), task_id=1,
+            frozen_stages=frozen_stages,
+        )
+        params = {
+            "backbone": {
+                "conv1": {"kernel": jnp.ones(1)},
+                "bn1": {"scale": jnp.ones(1)},
+                "layer1_0": {"conv1": {"kernel": jnp.ones(1)}},
+                "layer2_0": {"conv1": {"kernel": jnp.ones(1)}},
+            },
+            "bbox_head": {
+                "fc_cls0": {"kernel": jnp.ones(1)},
+                "fc_cls1": {"kernel": jnp.ones(1)},
+            },
+        }
+        m = trainable_mask(params, cfg)
+        return {
+            "conv1": float(m["backbone"]["conv1"]["kernel"]),
+            "bn1": float(m["backbone"]["bn1"]["scale"]),
+            "layer1": float(m["backbone"]["layer1_0"]["conv1"]["kernel"]),
+            "layer2": float(m["backbone"]["layer2_0"]["conv1"]["kernel"]),
+            "cls0": float(m["bbox_head"]["fc_cls0"]["kernel"]),
+            "cls1": float(m["bbox_head"]["fc_cls1"]["kernel"]),
+        }
+
+    def test_from_scratch_trains_everything(self):
+        m = self._mask(-1)
+        assert m == dict(conv1=1, bn1=1, layer1=1, layer2=1, cls0=1, cls1=0)
+
+    def test_stem_only(self):
+        m = self._mask(0)
+        assert m == dict(conv1=0, bn1=0, layer1=1, layer2=1, cls0=1, cls1=0)
+
+    def test_default_stage1(self):
+        m = self._mask(1)
+        assert m == dict(conv1=0, bn1=0, layer1=0, layer2=1, cls0=1, cls1=0)
+
+    def test_two_stages(self):
+        m = self._mask(2)
+        assert m == dict(conv1=0, bn1=0, layer1=0, layer2=0, cls0=1, cls1=0)
+
+
 class TestNSGP:
     def test_adaptive_threshold_elbow(self):
         # spectrum with a sharp elbow at index 20
