@@ -99,3 +99,44 @@ def test_resnet50_matches_torch():
     for oj, ot in zip(outs_jax, outs_t):
         ot = ot.numpy().transpose(0, 2, 3, 1)
         np.testing.assert_allclose(np.asarray(oj), ot, rtol=2e-3, atol=2e-3)
+
+
+def test_grid_sample_roi_align_matches_gather_oracle():
+    """torch_roi_align_level was rewritten on F.grid_sample (the gather
+    version's autograd backward dominated the replica train step); the
+    original advanced-indexing implementation stays as the oracle and
+    the two must agree exactly — values AND input gradients — including
+    out-of-range samples (zeroed but still averaged) and border clamps."""
+    import sys
+    import os.path as osp
+
+    sys.path.insert(0, osp.dirname(__file__))
+    from torch_loss_replica import (
+        _torch_roi_align_gather,
+        torch_roi_align_level,
+    )
+
+    rs = np.random.RandomState(7)
+    for _ in range(3):
+        B, C, H, W = 2, 8, 37, 53
+        feat = torch.tensor(
+            rs.randn(B, C, H, W), dtype=torch.float32, requires_grad=True
+        )
+        feat2 = feat.detach().clone().requires_grad_(True)
+        R = 40
+        x1 = rs.uniform(-30, W * 4, R)
+        y1 = rs.uniform(-30, H * 4, R)
+        w = rs.uniform(0.5, 80, R)
+        h = rs.uniform(0.5, 80, R)
+        rois = torch.tensor(
+            np.stack([x1, y1, x1 + w, y1 + h], -1), dtype=torch.float32
+        )
+        bidx = torch.tensor(rs.randint(0, B, R))
+        a = torch_roi_align_level(feat, rois, bidx, 0.25)
+        b = _torch_roi_align_gather(feat2, rois, bidx, 0.25)
+        np.testing.assert_allclose(
+            a.detach().numpy(), b.detach().numpy(), rtol=1e-5, atol=1e-5
+        )
+        ga = torch.autograd.grad(a.sum(), feat)[0]
+        gb = torch.autograd.grad(b.sum(), feat2)[0]
+        np.testing.assert_allclose(ga.numpy(), gb.numpy(), rtol=1e-5, atol=1e-5)
