@@ -9,7 +9,10 @@ train_task_split = [0, 40, 80]
 val_task_split = [0, 40]
 
 train_dataloader = dict(
-    batch_size=4,
+    # GLOBAL batch (this loader's convention): the reference trains
+    # 2 GPUs x batch_size=8 (coco_detection_40_40_task1.py:40,
+    # train_list.sh:1) = 16 images per step
+    batch_size=16,
     dataset=dict(
         type=dataset_type,
         data_root=data_root,

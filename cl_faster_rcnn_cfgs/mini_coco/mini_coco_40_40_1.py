@@ -2,14 +2,15 @@
 # regression run (see tools/misc/make_mini_coco.py for why COCO2017
 # itself is unreachable). Same protocol as
 # cl_coco/cl_faster_rcnn_ns2_split_id_40_40_1.py at the real COCO
-# shapes ((1333, 800) scale, batch 4, 80 classes, CocoMetric), pointed
+# shapes ((1333, 800) scale, global batch 16, 80 classes, CocoMetric),
+# pointed
 # at the generated dataset. Deviations, all forced by the offline
 # environment (no ImageNet checkpoint):
 #   - backbone trains from scratch: frozen_stages=-1
 #   - 24 epochs (vs schedule_1x's 12) to converge from scratch
-#   - lr 0.005 (linear bs-4 scaling of the 0.02@bs16 base) + clip_grad,
-#     200-iter warmup — the reference uses clip_grad for its
-#     from-scratch ablations too
+#   - lr 0.01 (half the protocol 0.02@bs16 — from-scratch training
+#     diverges at full lr, same halving as mini-VOC) + clip_grad,
+#     200-iter warmup
 _base_ = ["../cl_coco/cl_faster_rcnn_ns2_split_id_40_40_1.py"]
 
 data_root = "data/mini_coco/"
@@ -22,7 +23,7 @@ model = dict(backbone=dict(frozen_stages=-1))
 
 train_cfg = dict(max_epochs=24)
 optim_wrapper = dict(
-    optimizer=dict(lr=0.005),
+    optimizer=dict(lr=0.01),
     clip_grad=dict(max_norm=35, norm_type=2),
 )
 param_scheduler = [

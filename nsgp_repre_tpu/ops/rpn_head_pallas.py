@@ -39,12 +39,33 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _pick_band(h: int) -> int:
-    """Rows per grid band: a divisor of h keeping bands ~8-16 rows."""
+_VMEM_BUDGET = 11 << 20  # leave headroom under the 16 MB scoped limit
+
+
+def _pick_band(h: int, w: int = 0, c: int = 0, f: int = 0, p: int = 0,
+               itemsize: int = 2) -> int:
+    """Rows per grid band: a divisor of h keeping bands ~8-16 rows,
+    shrunk until the band's scoped-VMEM footprint fits.
+
+    Mosaic stack-allocates the window scratch, the f32 matmul
+    accumulators and the (double-buffered) out block per band; at the
+    COCO canvas (208x336 P2 map, batch 16) the old fixed TH=16 demanded
+    18.4 MB against the 16 MB scoped limit and failed to compile. The
+    estimate below reproduces that observed footprint to ~5%."""
+
+    def fits(th: int) -> bool:
+        if not w:
+            return True
+        win = (th + 2) * w * c * itemsize
+        acc = th * w * f * (4 + itemsize)  # f32 acc + cast copy
+        outb = th * w * p * (4 + 2 * itemsize)  # f32 out + 2x buffered block
+        const = 9 * c * f * itemsize + c * p * itemsize
+        return win + acc + outb + const <= _VMEM_BUDGET
+
     for th in (16, 13, 12, 10, 8, 25, 5, 7, 11, 4, 3, 2, 1):
-        if th <= h and h % th == 0:
+        if th <= h and h % th == 0 and fits(th):
             return th
-    return h
+    return 1
 
 
 def _conv_body(f_ref, w1_ref, b1_ref, win, sems, *, TH, H, W, b, r0,
@@ -178,7 +199,7 @@ def _call(f, w1, b1, wcr, bcr, interpret):
     B, H, W, C = f.shape
     F = w1.shape[3]
     P = wcr.shape[1]
-    TH = _pick_band(H)
+    TH = _pick_band(H, W, C, F, P, jnp.dtype(f.dtype).itemsize)
     dt = f.dtype
 
     kernel = functools.partial(_rpn_head_kernel, TH=TH, H=H, W=W)
@@ -228,7 +249,7 @@ def conv3x3_fused(
     dt = f.dtype
     Wp = -(-W // 8) * 8
     fp = jnp.pad(f, ((0, 0), (0, 0), (0, Wp - W), (0, 0))) if Wp != W else f
-    TH = _pick_band(H)
+    TH = _pick_band(H, Wp, C, F, 0, jnp.dtype(f.dtype).itemsize)
     kernel = functools.partial(_conv3x3_kernel, TH=TH, H=H, W=Wp, relu=relu)
     out = pl.pallas_call(
         kernel,
