@@ -3,7 +3,12 @@
 Covers the full two-task NSGP-RePRE protocol (SURVEY §3.1): task 1 train
 → artifacts (covariance / rois_etc / ewc) → task 2 with teacher
 pseudo-labels, NSGP transforms, EWC terms, RePRE prototypes → train →
-merged artifacts. Marked slow (single-core XLA compiles dominate).
+merged artifacts.
+
+test_two_task_pipeline runs in the DEFAULT suite (the only default test
+of the full runner orchestration — VERDICT r3 weak #6); the exact-parity
+variant stays opt-in ``slow`` (a second full compile of everything for
+one config flag).
 """
 import os
 import os.path as osp
@@ -12,8 +17,6 @@ import numpy as np
 import pytest
 
 from nsgp_repre_tpu.utils.config import Config
-
-pytestmark = pytest.mark.slow
 
 VOC_XML = """<annotation>
   <filename>{name}.jpg</filename>
@@ -169,6 +172,7 @@ def test_two_task_pipeline(voc_root, tmp_path):
     assert int(r1b.state.step) > 0
 
 
+@pytest.mark.slow
 def test_parity_mode_task1(voc_root, tmp_path):
     """Exact-parity configuration end-to-end: use_approx_topk=False runs
     the full train+val loop through the runner (VERDICT r1 weak #4 — the
