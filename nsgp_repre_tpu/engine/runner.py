@@ -709,6 +709,15 @@ class NullSpaceRunner:
             if self.teacher_cache and self.state.teacher_params is not None:
                 self._precompute_pseudo_labels()
             log_f = open(log_path, "a")
+            # Two differently-shaped train programs (the landscape /
+            # portrait bucket canvases) must never be in flight at once:
+            # async dispatch otherwise overlaps both programs' activation
+            # workspaces and at batch-16 COCO canvases that exceeds HBM —
+            # the worker dies with "TPU worker process crashed" after a
+            # handful of alternations (reproduced 2026-08-19; bs8 or a
+            # single bucket are fine). A scalar fetch on bucket switch
+            # serializes the pipeline at ~one RTT per switch.
+            prev_canvas, prev_sync = None, None
             for epoch in range(start_epoch, self.max_epochs):
                 self.train_loader.set_epoch(epoch)
                 for it, (batch, meta) in enumerate(self.train_loader):
@@ -718,9 +727,14 @@ class NullSpaceRunner:
                         jax.profiler.stop_trace()
                         logger.info(f"profiler trace saved to {profile_dir}")
                     batch = self._device_batch(batch)
+                    canvas = tuple(batch.images.shape[1:3])
+                    if prev_canvas not in (None, canvas) and prev_sync is not None:
+                        float(prev_sync)
+                    prev_canvas = canvas
                     rng, key = jax.random.split(rng)
                     t0 = time.time()
                     self.state, metrics = self._train_batch_step(batch, meta, key)
+                    prev_sync = metrics["loss"]
                     if it % 50 == 0:
                         metrics = {k: float(v) for k, v in metrics.items()}
                         lr = float(self.lr_schedule(int(self.state.step)))
@@ -734,6 +748,8 @@ class NullSpaceRunner:
                             dict(epoch=epoch, iter=it, lr=lr, time=dt, **metrics)
                         ) + "\n")
                         log_f.flush()
+                if prev_sync is not None:
+                    float(prev_sync)  # train/eval programs: same hazard
                 mAP = self.val()
                 try:  # MemoryProfilerHook-style RSS logging (optional psutil)
                     import psutil

@@ -9,11 +9,24 @@ cd "$(dirname "$0")/../.."
 
 [ -d data/mini_coco/train2017 ] || python tools/misc/make_mini_coco.py
 
-# task 1 (first 40 COCO classes)
-python tools/train.py cl_faster_rcnn_cfgs/mini_coco/mini_coco_40_40_1.py --resume
+# task 1 (first 40 COCO classes). The axon dev harness's remote worker
+# occasionally dies mid-run ("TPU worker process crashed", no
+# diagnostics); task 1 checkpoints every epoch, so retry-with-resume
+# makes forward progress through flakes.
+for attempt in $(seq 1 30); do
+  python tools/train.py cl_faster_rcnn_cfgs/mini_coco/mini_coco_40_40_1.py --resume && break
+  echo "task-1 attempt $attempt crashed; resuming" >&2
+  sleep 10
+done
 
 # task 2: teacher + RePRE + EWC + NSGP on top of task-1 artifacts
-python tools/train.py cl_faster_rcnn_cfgs/mini_coco/mini_coco_40_40_2.py
+# (no resume for task>1 — reference nsrunner:551 parity — so a crash
+# restarts the task)
+for attempt in $(seq 1 10); do
+  python tools/train.py cl_faster_rcnn_cfgs/mini_coco/mini_coco_40_40_2.py && break
+  echo "task-2 attempt $attempt crashed; restarting" >&2
+  sleep 10
+done
 
 # final eval over all 80 classes + per-image detections dump
 BEST=$(ls work_dirs/mini_coco/mini_coco_40_40_2/best_*.npz | head -1)
