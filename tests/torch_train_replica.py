@@ -30,8 +30,9 @@ from torch_loss_replica import (
     np_bbox2delta,
     np_max_iou_assign,
     replica_losses,
+    torch_multilevel_roi_align,
 )
-from torch_replica import np_batched_nms, np_delta2bbox, np_multilevel_roi_align
+from torch_replica import np_batched_nms, np_delta2bbox
 
 from nsgp_repre_tpu.ops.anchors import AnchorGenerator
 
@@ -287,10 +288,24 @@ def eval_voc(tm, loader, dataset, num_classes, score_thr=0.05, nms_iou=0.5,
             picks = np_batched_nms(boxes, scores, lvls, wh_ok, 0.7, rpn_max)
             props = boxes[picks]
 
-            feats_chw = [f[i].numpy() for f in feats[:4]]
-            roi_feats = np_multilevel_roi_align(feats_chw, props)
-            flat = torch.from_numpy(roi_feats.reshape(roi_feats.shape[0], -1))
+            r = by_id[meta[i]]
+            if len(props) == 0:  # untrained RPN can propose nothing
+                detections.append({c: (np.zeros((0, 4), np.float32),
+                                       np.zeros(0, np.float32))
+                                   for c in range(num_classes)})
+                annotations.append(dict(
+                    boxes=np.asarray(r["boxes"], np.float32),
+                    labels=np.asarray(r["labels"]),
+                    difficult=r.get("difficult"),
+                ))
+                continue
+            props_t = torch.from_numpy(props.astype(np.float32))
+            pbidx = torch.full((props_t.shape[0],), i, dtype=torch.long)
             with torch.no_grad():
+                roi_feats = torch_multilevel_roi_align(
+                    feats[:4], props_t, pbidx
+                )
+                flat = roi_feats.reshape(roi_feats.shape[0], -1)
                 cls, reg = tm.bbox_head_forward(flat)
                 probs = torch.softmax(cls, -1).numpy()[:, : tm.num_classes]
             reg = reg.numpy()
@@ -312,7 +327,6 @@ def eval_voc(tm, loader, dataset, num_classes, score_thr=0.05, nms_iou=0.5,
                 m = flat_labels[picks] == c
                 det[c] = (det_boxes[m], flat_scores[picks][m])
             detections.append(det)
-            r = by_id[meta[i]]
             annotations.append(dict(
                 boxes=np.asarray(r["boxes"], np.float32),
                 labels=np.asarray(r["labels"]),

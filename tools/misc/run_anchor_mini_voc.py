@@ -116,7 +116,7 @@ def run_torch(voc_root, epochs, seed):
                 elif (m := re.match(r"roi_head\.bbox_head\.fc_reg\.(\d)\.(\w+)", k)):
                     t = getattr(tm.fc_reg[int(m[1])], m[2])
                 assert t is not None, f"unmapped init key {k}"
-                t.copy_(v)
+                t.copy_(v.reshape(t.shape))
 
     ds = VOCTaskDataset(
         voc_root, "VOC2007/ImageSets/Main/trainval.txt",
@@ -127,11 +127,19 @@ def run_torch(voc_root, epochs, seed):
         gt_capacity=64, seed=seed,
     )
     # milestones must mirror mini_voc_anchor_task1.py's MultiStepLR
+    import torch
+
+    trained_path = osp.join(WORK, "torch_trained.pt")
     t0 = time.time()
-    train_task1(
-        tm, loader, max_epochs=epochs, base_lr=0.01,
-        milestones=(max(epochs - 2, 1),), warmup_iters=100, seed=seed,
-    )
+    if osp.exists(trained_path):
+        tm.load_state_dict(torch.load(trained_path, weights_only=True))
+        print("loaded previously trained torch replica (skip training)")
+    else:
+        train_task1(
+            tm, loader, max_epochs=epochs, base_lr=0.01,
+            milestones=(max(epochs - 2, 1),), warmup_iters=100, seed=seed,
+        )
+        torch.save(tm.state_dict(), trained_path)
     train_s = time.time() - t0
 
     val_ds = VOCTaskDataset(
