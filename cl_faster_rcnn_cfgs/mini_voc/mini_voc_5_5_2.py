@@ -33,7 +33,9 @@ optim_wrapper = dict(
     clip_grad=dict(max_norm=35, norm_type=2),
 )
 param_scheduler = [
-    dict(type="LinearLR", start_factor=0.001, by_epoch=False, begin=0, end=200),
+    # ~5 steps/epoch at batch 16 (67-95 imgs/task after task filtering):
+    # a 200-iter warmup would span 40 epochs, so warm up over 50
+    dict(type="LinearLR", start_factor=0.001, by_epoch=False, begin=0, end=50),
     dict(type="MultiStepLR", begin=0, end=30, by_epoch=True,
          milestones=[20, 26], gamma=0.1),
 ]
