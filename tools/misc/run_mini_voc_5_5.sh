@@ -13,13 +13,26 @@ cd "$(dirname "$0")/../.."
 
 [ -d data/mini_voc/VOCdevkit ] || python tools/misc/make_mini_voc.py
 
-# task 1 (resumes from work_dirs/.../resume_state.npz if interrupted)
-python tools/train.py cl_faster_rcnn_cfgs/mini_voc/mini_voc_5_5_1.py --resume
+# task 1 (resumes from work_dirs/.../resume_state.npz if interrupted).
+# The axon dev harness's remote worker occasionally dies mid-run; task 1
+# checkpoints every epoch, so retry-with-resume makes forward progress
+# through flakes (same guard as run_mini_coco.sh).
+for attempt in $(seq 1 10); do
+  python tools/train.py cl_faster_rcnn_cfgs/mini_voc/mini_voc_5_5_1.py --resume && break
+  echo "task-1 attempt $attempt crashed; resuming" >&2
+  sleep 10
+done
 
 # tasks 2-4: teacher + RePRE + EWC + NSGP on top of the previous task's
-# artifacts (covariance, rois_etc, ewc terms, masks all re-merged)
+# artifacts (covariance, rois_etc, ewc terms, masks all re-merged).
+# No resume for task>1 (reference nsrunner:551 parity) — a crash
+# restarts the task.
 for n in 2 3 4; do
-  python tools/train.py cl_faster_rcnn_cfgs/mini_voc/mini_voc_5_5_$n.py
+  for attempt in $(seq 1 10); do
+    python tools/train.py cl_faster_rcnn_cfgs/mini_voc/mini_voc_5_5_$n.py && break
+    echo "task-$n attempt $attempt crashed; restarting" >&2
+    sleep 10
+  done
 done
 
 # final eval over all 20 seen classes + per-image detections dump
