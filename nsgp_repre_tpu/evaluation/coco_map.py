@@ -168,6 +168,21 @@ def eval_coco_map(
             v75 = precisions[5][precisions[5] > -1]
             results["mAP_50"] = float(v50.mean()) if len(v50) else 0.0
             results["mAP_75"] = float(v75.mean()) if len(v75) else 0.0
+            # per-class AP (area=all), nan for classes with no gt — the
+            # incremental protocol's old/new retention split needs these
+            # (pycocotools exposes the same via COCOeval.eval['precision'])
+            per_class = np.full(num_classes, np.nan)
+            per_class_50 = np.full(num_classes, np.nan)
+            for cls in range(num_classes):
+                p = precisions[:, :, cls]
+                if (p > -1).any():
+                    per_class[cls] = float(p[p > -1].mean())
+                    p50 = precisions[0, :, cls]
+                    per_class_50[cls] = (
+                        float(p50[p50 > -1].mean()) if (p50 > -1).any() else 0.0
+                    )
+            results["per_class_mAP"] = per_class
+            results["per_class_mAP_50"] = per_class_50
     results["mAP"] = ap_per_area["all"]
     results["mAP_s"] = ap_per_area["small"]
     results["mAP_m"] = ap_per_area["medium"]
