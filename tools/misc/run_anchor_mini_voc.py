@@ -184,24 +184,29 @@ def main():
     voc_root = ensure_dataset()
     os.makedirs(WORK, exist_ok=True)
     results_path = osp.join(WORK, "RESULTS.json")
-    results = {}
-    if osp.exists(results_path):
-        results = json.load(open(results_path))
+
+    def merge_write(**kv):
+        # The two halves may run as separate concurrent processes (torch
+        # on CPU, jax holding the TPU): always re-read before writing so
+        # the slower half can't clobber the faster half's result.
+        results = {}
+        if osp.exists(results_path):
+            results = json.load(open(results_path))
+        results.update(kv)
+        if "jax_mAP" in results and "torch_mAP" in results:
+            results["abs_gap"] = abs(results["jax_mAP"] - results["torch_mAP"])
+        json.dump(results, open(results_path, "w"), indent=1)
+        return results
 
     if not osp.exists(INIT_PTH):
         save_init(build_torch_model(args.seed))
     if not args.skip_jax:
-        results["jax_mAP"] = run_jax(args.epochs, args.seed)
-        json.dump(results, open(results_path, "w"), indent=1)
+        merge_write(jax_mAP=run_jax(args.epochs, args.seed),
+                    epochs=args.epochs, seed=args.seed)
     if not args.skip_torch:
-        results["torch_mAP"] = run_torch(voc_root, args.epochs, args.seed)
-        json.dump(results, open(results_path, "w"), indent=1)
-    results["epochs"] = args.epochs
-    results["seed"] = args.seed
-    if "jax_mAP" in results and "torch_mAP" in results:
-        results["abs_gap"] = abs(results["jax_mAP"] - results["torch_mAP"])
-    json.dump(results, open(results_path, "w"), indent=1)
-    print(json.dumps(results, indent=1))
+        merge_write(torch_mAP=run_torch(voc_root, args.epochs, args.seed),
+                    epochs=args.epochs, seed=args.seed)
+    print(json.dumps(json.load(open(results_path)), indent=1))
 
 
 if __name__ == "__main__":
