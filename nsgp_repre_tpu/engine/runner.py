@@ -544,19 +544,31 @@ class NullSpaceRunner:
 
     # ------------------------------------------------------------------
     # ------------------------------------------------------------------
-    # resume (task 1 only — nsrunner:551 forbids task>1 resume because
-    # the teacher is initialized from load_from)
+    # resume (any task). The reference forbids task>1 resume
+    # (nsrunner_roi_replay.py:551) because ITS teacher is deep-copied
+    # from the mutable `load_from` student; here every cross-task input
+    # is rebuilt deterministically at __init__ from the PREVIOUS task's
+    # on-disk artifacts — teacher_params from previous_dir's best ckpt,
+    # NSGP transforms from covariance.npz, RePRE prototypes from
+    # rois_etc.npz + mask.pkl, EWC rows from ewc_reg_terms_ewc.npz —
+    # none of which a mid-task crash can corrupt. Resume therefore only
+    # needs to restore the training-loop state proper (params,
+    # batch_stats, optimizer slots, step, best-mAP watermark).
     # ------------------------------------------------------------------
-    def _save_resume_state(self, epoch: int, host_tree=None):
+    def _save_resume_state(self, epoch: int, host_tree=None, best_map=-1.0):
         # optimizer slot buffers, whatever the state type (NSCLState has
         # momentum; AdamNSCLState has mu/nu) — transforms are rebuilt from
         # the covariance artifact on restart, count is a scalar
         tree = host_tree or self._fetch_host_state(with_slots=True)
         tree = dict(tree)
         tree["epoch"] = np.asarray(epoch)
+        # restoring the best-mAP watermark keeps a post-resume epoch from
+        # overwriting a better pre-crash best_*.npz
+        tree["best_map"] = np.asarray(float(best_map))
         ckpt_io.save_pytree(osp.join(self.work_dir, "resume_state.npz"), tree)
 
     def _try_resume(self) -> int:
+        self._resumed_best = -1.0
         path = osp.join(self.work_dir, "resume_state.npz")
         if not (self.cfg.get("resume", False) and osp.exists(path)):
             return 0
@@ -577,8 +589,12 @@ class NullSpaceRunner:
             params=params, batch_stats=stats, opt_state=opt_state,
             step=jnp.asarray(flat["step"]),
         )
+        self._resumed_best = float(flat.get("best_map", -1.0))
         epoch = int(flat["epoch"]) + 1
-        logger.info(f"resumed from {path} at epoch {epoch}")
+        logger.info(
+            f"resumed from {path} at epoch {epoch} "
+            f"(best mAP so far {self._resumed_best:.4f})"
+        )
         return epoch
 
     # ------------------------------------------------------------------
@@ -678,10 +694,18 @@ class NullSpaceRunner:
                 shard_id=proc_id,
                 force_flip=force_flip,
             )
-            for batch, meta in PrefetchLoader(
+            for i, (batch, meta) in enumerate(PrefetchLoader(
                 pre, buffer_size=2, transfer_fn=self._device_batch
-            ):
+            )):
                 self._fill_pseudo_cache(batch, self._global_keys(meta))
+                if i % 20 == 0:
+                    # liveness heartbeat: this phase (teacher compile +
+                    # two dataset passes) is otherwise silent for many
+                    # minutes and external hang-watchdogs need signal
+                    logger.info(
+                        f"teacher prefill flip={force_flip} batch {i} "
+                        f"({time.time() - t0:.0f}s)"
+                    )
         logger.info(
             f"teacher pseudo-label cache: {len(self._pseudo_cache)} entries "
             f"in {time.time() - t0:.1f}s"
@@ -696,14 +720,10 @@ class NullSpaceRunner:
         return self.train_step(self.state, batch, key)
 
     def train(self):
-        assert not self.cfg.get("resume", False) or self.task_id == 1, (
-            "Resume is not allowed for task>1: the teacher is initialized "
-            "from load_from (nsrunner:551)"
-        )
-        best_map = -1.0
         rng = jax.random.PRNGKey(self.seed + 1)
         log_path = osp.join(self.work_dir, "scalars.json")
         start_epoch = self._try_resume()
+        best_map = self._resumed_best
         profile_dir = self.cfg.get("profile_dir")
         if not self.is_trained:
             if self.teacher_cache and self.state.teacher_params is not None:
@@ -758,10 +778,12 @@ class NullSpaceRunner:
                     logger.info(f"epoch {epoch}: mAP {mAP:.4f} (host RSS {rss:.1f} GiB)")
                 except ImportError:
                     logger.info(f"epoch {epoch}: mAP {mAP:.4f}")
-                host_tree = self._fetch_host_state(with_slots=self.task_id == 1)
+                host_tree = self._fetch_host_state(with_slots=True)
                 self._save_checkpoint(f"epoch_{epoch}.npz", host_tree=host_tree)
-                if self.task_id == 1:
-                    self._save_resume_state(epoch, host_tree=host_tree)
+                self._save_resume_state(
+                    epoch, host_tree=host_tree,
+                    best_map=max(mAP, best_map),
+                )
                 last = osp.join(self.work_dir, f"epoch_{epoch - 1}.npz")
                 if osp.exists(last):
                     os.remove(last)  # max_keep_ckpts=1

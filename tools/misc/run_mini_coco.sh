@@ -19,12 +19,15 @@ for attempt in $(seq 1 30); do
   sleep 10
 done
 
-# task 2: teacher + RePRE + EWC + NSGP on top of task-1 artifacts
-# (no resume for task>1 — reference nsrunner:551 parity — so a crash
-# restarts the task)
+# task 2: teacher + RePRE + EWC + NSGP on top of task-1 artifacts.
+# Resume IS supported for task>1 here (unlike the reference,
+# nsrunner:551): the teacher / NSGP transforms / prototypes / EWC rows
+# are all rebuilt deterministically from task-1's on-disk artifacts at
+# startup, so a crash only needs the loop state back (runner.py
+# _try_resume).
 for attempt in $(seq 1 10); do
-  python tools/train.py cl_faster_rcnn_cfgs/mini_coco/mini_coco_40_40_2.py && break
-  echo "task-2 attempt $attempt crashed; restarting" >&2
+  python tools/train.py cl_faster_rcnn_cfgs/mini_coco/mini_coco_40_40_2.py --resume && break
+  echo "task-2 attempt $attempt crashed; resuming" >&2
   sleep 10
 done
 

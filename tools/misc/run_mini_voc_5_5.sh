@@ -25,12 +25,13 @@ done
 
 # tasks 2-4: teacher + RePRE + EWC + NSGP on top of the previous task's
 # artifacts (covariance, rois_etc, ewc terms, masks all re-merged).
-# No resume for task>1 (reference nsrunner:551 parity) — a crash
-# restarts the task.
+# Resume is supported for task>1 here (unlike the reference,
+# nsrunner:551): every cross-task input is rebuilt deterministically
+# from the previous task's artifacts at startup (runner.py _try_resume).
 for n in 2 3 4; do
   for attempt in $(seq 1 10); do
-    python tools/train.py cl_faster_rcnn_cfgs/mini_voc/mini_voc_5_5_$n.py && break
-    echo "task-$n attempt $attempt crashed; restarting" >&2
+    python tools/train.py cl_faster_rcnn_cfgs/mini_voc/mini_voc_5_5_$n.py --resume && break
+    echo "task-$n attempt $attempt crashed; resuming" >&2
     sleep 10
   done
 done
