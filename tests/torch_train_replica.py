@@ -265,7 +265,9 @@ def eval_voc(tm, loader, dataset, num_classes, score_thr=0.05, nms_iou=0.5,
             cls_maps, reg_maps = tm.rpn_forward(feats)
         sizes = [(f.shape[2], f.shape[3]) for f in feats]
         anchors_per_level = gen.grid_anchors(sizes)
-        B = x.shape[0]
+        # the last partial batch pads image rows to batch_size but meta
+        # lists only the planned records — never read the pad rows
+        B = min(x.shape[0], len(meta))
         for i in range(B):
             img_shape = tuple(int(v) for v in batch.img_shape[i])
             boxes_l, scores_l, lvl_l = [], [], []
