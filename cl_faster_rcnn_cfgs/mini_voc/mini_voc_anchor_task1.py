@@ -3,18 +3,36 @@
 # from a SHARED torch-replica init (load_from below): the torch replica
 # trains the identical protocol on CPU and final mAP is compared.
 # Deviations from mini_voc_15_5_1.py, all mirrored on the torch side:
-#   - img_scale (500, 300): keeps the CPU torch run feasible (~1h)
-#   - 10 epochs, milestone [8] (matched shortened schedule)
+#   - img_scale (500, 300): keeps the CPU torch run feasible
+#   - repeat=1 (the 15+5 protocol's RepeatDataset(times=3) would triple
+#     the CPU torch run; the dataset dict below is restated WITHOUT the
+#     RepeatDataset wrapper so both stacks see 160 imgs -> 10 steps/epoch)
+#   - 24 epochs, milestones [16, 22] (matched shortened schedule)
 #   - loads work_dirs/anchor/torch_init.pth (the shared starting point)
 _base_ = ["mini_voc_15_5_1.py"]
 
 img_scale = (500, 300)
 
-train_cfg = dict(max_epochs=10)
+data_root = "data/mini_voc/VOCdevkit"
+train_dataloader = dict(
+    dataset=dict(
+        type="VOCTask",
+        data_root=data_root,
+        ann_file="VOC2007/ImageSets/Main/trainval.txt",
+        data_prefix=dict(sub_data_root="VOC2007/"),
+        task_split=[0, 15, 20],
+        task_id=1,
+        filter_cfg=dict(filter_empty_gt=True, min_size=5, bbox_min_size=5),
+    ),
+    _delete_=True,
+    batch_size=16,
+)
+
+train_cfg = dict(max_epochs=24)
 param_scheduler = [
     dict(type="LinearLR", start_factor=0.001, by_epoch=False, begin=0, end=100),
-    dict(type="MultiStepLR", begin=0, end=10, by_epoch=True,
-         milestones=[8], gamma=0.1),
+    dict(type="MultiStepLR", begin=0, end=24, by_epoch=True,
+         milestones=[16, 22], gamma=0.1),
 ]
 
 load_from = "./work_dirs/anchor/torch_init.pth"

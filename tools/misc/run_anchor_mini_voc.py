@@ -129,7 +129,8 @@ def run_torch(voc_root, epochs, seed):
     # milestones must mirror mini_voc_anchor_task1.py's MultiStepLR
     import torch
 
-    trained_path = osp.join(WORK, "torch_trained.pt")
+    # cache keyed by the protocol (an --epochs change must retrain)
+    trained_path = osp.join(WORK, f"torch_trained_e{epochs}_s{seed}.pt")
     t0 = time.time()
     if osp.exists(trained_path):
         tm.load_state_dict(torch.load(trained_path, weights_only=True))
@@ -137,7 +138,7 @@ def run_torch(voc_root, epochs, seed):
     else:
         train_task1(
             tm, loader, max_epochs=epochs, base_lr=0.01,
-            milestones=(max(epochs - 2, 1),), warmup_iters=100, seed=seed,
+            milestones=_milestones(epochs), warmup_iters=100, seed=seed,
         )
         torch.save(tm.state_dict(), trained_path)
     train_s = time.time() - t0
@@ -155,6 +156,14 @@ def run_torch(voc_root, epochs, seed):
     return float(mAP)
 
 
+def _milestones(epochs):
+    """LR-drop epochs, identical on both stacks. The v2 protocol is
+    24 epochs / milestones (16, 22) — the config file's values; other
+    --epochs choices fall back to a single drop 2 epochs from the end
+    (and run_jax then overrides the config scheduler to match)."""
+    return (16, 22) if epochs == 24 else (max(epochs - 2, 1),)
+
+
 def run_jax(epochs, seed):
     from nsgp_repre_tpu.engine.runner import NullSpaceRunner
     from nsgp_repre_tpu.utils.compile_cache import enable_compile_cache
@@ -166,6 +175,9 @@ def run_jax(epochs, seed):
     cfg = load_config(CFG, overrides=[
         f"train_cfg.max_epochs={epochs}", f"seed={seed}",
     ])
+    if epochs != 24:  # keep the LR schedule mirrored with run_torch
+        cfg["param_scheduler"][1]["milestones"] = list(_milestones(epochs))
+        cfg["param_scheduler"][1]["end"] = epochs
     runner = NullSpaceRunner(cfg)
     runner.train()
     mAP = runner.val()
@@ -177,7 +189,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--skip-jax", action="store_true")
     ap.add_argument("--skip-torch", action="store_true")
-    ap.add_argument("--epochs", type=int, default=10)
+    ap.add_argument("--epochs", type=int, default=24)
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
