@@ -42,13 +42,13 @@ class TorchBottleneck(tnn.Module):
 
 
 class TorchResNet50(tnn.Module):
-    def __init__(self):
+    def __init__(self, stage_blocks=(3, 4, 6, 3)):
         super().__init__()
         self.conv1 = tnn.Conv2d(3, 64, 7, stride=2, padding=3, bias=False)
         self.bn1 = tnn.BatchNorm2d(64)
         self.relu = tnn.ReLU()
         self.maxpool = tnn.MaxPool2d(3, stride=2, padding=1)
-        blocks = {1: 3, 2: 4, 3: 6, 4: 3}
+        blocks = {s + 1: n for s, n in enumerate(stage_blocks)}
         cin = 64
         for s, n in blocks.items():
             mid = 64 * 2 ** (s - 1)

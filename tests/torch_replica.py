@@ -161,12 +161,12 @@ def np_multilevel_roi_align(feats_chw, rois, strides=(4, 8, 16, 32),
 
 class TorchTaskFasterRCNN(tnn.Module):
     def __init__(self, num_classes=6, task_split=(0, 2, 4, 6), task_id=2,
-                 fc_dim=1024):
+                 fc_dim=1024, backbone_blocks=(3, 4, 6, 3)):
         super().__init__()
         self.num_classes = num_classes
         self.task_split = tuple(task_split)
         self.task_id = task_id
-        self.backbone = TorchResNet50()
+        self.backbone = TorchResNet50(stage_blocks=backbone_blocks)
         self.lateral = tnn.ModuleList(
             [tnn.Conv2d(c, 256, 1) for c in (256, 512, 1024, 2048)]
         )

@@ -44,12 +44,24 @@ sys.path.insert(0, ROOT)
 sys.path.insert(0, osp.join(ROOT, "tests"))
 sys.path.insert(0, osp.dirname(osp.abspath(__file__)))
 
-SCALE = (500, 300)
 WORK = osp.join(ROOT, "work_dirs", "anchor")
 INIT_PTH = osp.join(WORK, "torch_init.pth")
 CFG = osp.join(
     ROOT, "cl_faster_rcnn_cfgs", "mini_voc", "mini_voc_anchor_task1.py"
 )
+
+
+def _protocol():
+    """(img_scale, backbone_blocks) from the shared config — the single
+    source of truth so the two halves can never diverge on them."""
+    from nsgp_repre_tpu.utils.config import load_config
+
+    cfg = load_config(CFG)
+    scale = tuple(cfg.get("img_scale", (500, 300)))
+    blocks = tuple(
+        cfg.get("model", {}).get("backbone", {}).get("stage_blocks", (3, 4, 6, 3))
+    )
+    return scale, blocks
 
 
 def ensure_dataset():
@@ -66,9 +78,11 @@ def build_torch_model(seed):
 
     from torch_replica import TorchTaskFasterRCNN
 
+    _, blocks = _protocol()
     torch.manual_seed(seed)
     return TorchTaskFasterRCNN(
-        num_classes=20, task_split=(0, 15, 20), task_id=1
+        num_classes=20, task_split=(0, 15, 20), task_id=1,
+        backbone_blocks=blocks,
     )
 
 
@@ -118,19 +132,22 @@ def run_torch(voc_root, epochs, seed):
                 assert t is not None, f"unmapped init key {k}"
                 t.copy_(v.reshape(t.shape))
 
+    scale, blocks = _protocol()
     ds = VOCTaskDataset(
         voc_root, "VOC2007/ImageSets/Main/trainval.txt",
         task_split=[0, 15, 20], task_id=1,
     )
     loader = DetLoader(
-        ds, batch_size=16, scale=SCALE, training=True,
+        ds, batch_size=16, scale=scale, training=True,
         gt_capacity=64, seed=seed,
     )
     # milestones must mirror mini_voc_anchor_task1.py's MultiStepLR
     import torch
 
-    # cache keyed by the protocol (an --epochs change must retrain)
-    trained_path = osp.join(WORK, f"torch_trained_e{epochs}_s{seed}.pt")
+    # cache keyed by the protocol (an --epochs / scale / depth change
+    # must retrain)
+    tag = f"e{epochs}_s{seed}_b{''.join(map(str, blocks))}_{scale[0]}x{scale[1]}"
+    trained_path = osp.join(WORK, f"torch_trained_{tag}.pt")
     t0 = time.time()
     if osp.exists(trained_path):
         tm.load_state_dict(torch.load(trained_path, weights_only=True))
@@ -148,7 +165,7 @@ def run_torch(voc_root, epochs, seed):
         task_split=[0, 15], task_id=1, test_mode=True,
     )
     val_loader = DetLoader(
-        val_ds, batch_size=16, scale=SCALE, training=False, gt_capacity=64,
+        val_ds, batch_size=16, scale=scale, training=False, gt_capacity=64,
     )
     dets, anns = eval_voc(tm, val_loader, val_ds, num_classes=20)
     mAP, _ = eval_voc_map(dets, anns, num_classes=20, mode="11points")
@@ -157,11 +174,13 @@ def run_torch(voc_root, epochs, seed):
 
 
 def _milestones(epochs):
-    """LR-drop epochs, identical on both stacks. The v2 protocol is
-    24 epochs / milestones (16, 22) — the config file's values; other
-    --epochs choices fall back to a single drop 2 epochs from the end
-    (and run_jax then overrides the config scheduler to match)."""
-    return (16, 22) if epochs == 24 else (max(epochs - 2, 1),)
+    """LR-drop epochs, identical on both stacks: drops at 2/3 and 11/12
+    of the schedule (24 -> (16, 22), 48 -> (32, 44) — the config file's
+    v3 values; run_jax overrides the config scheduler for any other
+    --epochs so the halves always match)."""
+    if epochs < 12:
+        return (max(epochs - 2, 1),)
+    return (2 * epochs // 3, 11 * epochs // 12)
 
 
 def run_jax(epochs, seed):
@@ -175,7 +194,7 @@ def run_jax(epochs, seed):
     cfg = load_config(CFG, overrides=[
         f"train_cfg.max_epochs={epochs}", f"seed={seed}",
     ])
-    if epochs != 24:  # keep the LR schedule mirrored with run_torch
+    if epochs != 48:  # keep the LR schedule mirrored with run_torch
         cfg["param_scheduler"][1]["milestones"] = list(_milestones(epochs))
         cfg["param_scheduler"][1]["end"] = epochs
     runner = NullSpaceRunner(cfg)
@@ -189,7 +208,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--skip-jax", action="store_true")
     ap.add_argument("--skip-torch", action="store_true")
-    ap.add_argument("--epochs", type=int, default=24)
+    ap.add_argument("--epochs", type=int, default=48)
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
