@@ -130,3 +130,31 @@ def test_dataset_benchmark():
     res = DatasetBenchmark(_DS(), max_iter=16, num_warmup=2).run()
     assert res["items_per_sec"] > 0
     assert res["ms_per_item"] > 0
+
+
+def test_anchor_protocol_plumbing():
+    """The anchor driver's two halves must read the SAME protocol from
+    the shared config (tools/misc/run_anchor_mini_voc.py::_protocol) —
+    v2 diverged on RepeatDataset and anchored nothing."""
+    import os.path as osp
+    import sys
+
+    sys.path.insert(0, osp.join(osp.dirname(__file__), "..", "tools", "misc"))
+    from run_anchor_mini_voc import _milestones, _protocol
+
+    scale, blocks = _protocol()
+    assert scale == (400, 240)
+    assert blocks == (1, 1, 1, 1)
+    # milestone formula: both stacks derive drops from epochs the same way
+    assert _milestones(48) == (32, 44)
+    assert _milestones(24) == (16, 22)
+    # torch replica accepts the depth knob and names keys the converter maps
+    from torch_replica import TorchTaskFasterRCNN
+
+    tm = TorchTaskFasterRCNN(
+        num_classes=20, task_split=(0, 15, 20), task_id=1,
+        backbone_blocks=blocks,
+    )
+    sd = tm.mmdet_state_dict()
+    assert "backbone.layer4.0.conv1.weight" in sd
+    assert not any(k.startswith("backbone.layer1.1.") for k in sd)
